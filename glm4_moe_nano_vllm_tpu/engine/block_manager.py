@@ -1,0 +1,155 @@
+"""Paged KV-cache block manager with hash-based prefix caching.
+
+Host-side bookkeeping only — device memory is one big jax array owned by the
+model runner; this class hands out block indices into it.
+
+Behavioral parity with the reference block manager
+(`/root/reference/nanovllm/engine/block_manager.py:26-113`):
+  * ref-counted blocks, free-list allocation;
+  * chained xxhash64 over full 256-token blocks for prefix-cache lookup
+    (compute_hash at block_manager.py:35-41);
+  * cache-hit detection guarded by a token-ID comparison so hash collisions
+    can never change logits (block_manager.py:67);
+  * ``may_append`` block-boundary cases (new block on len%bs==1, seal hash on
+    len%bs==0; block_manager.py:96-113).
+
+Differences: allocation caps prefix-cache reuse at ``len(seq)-1`` tokens so a
+fully-cached prompt still produces one query token (and therefore logits); the
+reference would schedule an empty prefill in that case.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import xxhash
+
+from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+
+
+class Block:
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash = -1
+        self.token_ids: list[int] = []
+
+
+def hash_block_tokens(token_ids: list[int], prefix_hash: int = -1) -> int:
+    """Chained 64-bit hash over one full block of token ids."""
+    h = xxhash.xxh64()
+    if prefix_hash != -1:
+        h.update(prefix_hash.to_bytes(8, "little"))
+    h.update(np.asarray(token_ids, dtype=np.int64).tobytes())
+    return h.intdigest()
+
+
+class BlockManager:
+    def __init__(self, num_blocks: int, block_size: int, enable_prefix_caching: bool = True):
+        assert num_blocks > 0
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.enable_prefix_caching = enable_prefix_caching
+        self.blocks = [Block(i) for i in range(num_blocks)]
+        self.hash_to_block_id: dict[int, int] = {}
+        # Free list is FIFO; evicted-but-cached blocks stay in the hash map and
+        # can be resurrected until their id is re-allocated.
+        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.used_block_ids: set[int] = set()
+
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def _take_block(self, block_id: int) -> Block:
+        block = self.blocks[block_id]
+        assert block.ref_count == 0
+        block.ref_count = 1
+        block.hash = -1
+        block.token_ids = []
+        self.free_block_ids.remove(block_id)
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _release_block(self, block_id: int) -> None:
+        assert self.blocks[block_id].ref_count == 0
+        self.used_block_ids.remove(block_id)
+        self.free_block_ids.append(block_id)
+
+    def can_allocate(self, seq: Sequence) -> bool:
+        return self.num_free_blocks >= seq.num_blocks
+
+    def allocate(self, seq: Sequence) -> None:
+        """Assign blocks covering the whole prompt, reusing cached prefixes."""
+        assert not seq.block_table
+        prefix_hash = -1
+        cache_hit = self.enable_prefix_caching
+        for i in range(seq.num_blocks):
+            token_ids = seq.block(i)
+            full = len(token_ids) == self.block_size
+            prefix_hash = hash_block_tokens(token_ids, prefix_hash) if full else -1
+            cached_id = self.hash_to_block_id.get(prefix_hash, -1) if cache_hit else -1
+            if cached_id != -1 and self.blocks[cached_id].token_ids == token_ids:
+                # genuine hit (token ids verified against hash collisions)
+                seq.num_cached_tokens += self.block_size
+                if cached_id in self.used_block_ids:
+                    self.blocks[cached_id].ref_count += 1
+                else:
+                    block = self._take_block(cached_id)
+                    block.hash = prefix_hash
+                    block.token_ids = token_ids
+                block_id = cached_id
+            else:
+                cache_hit = False  # a miss breaks the chain for later blocks
+                block_id = self.free_block_ids[0]
+                block = self._take_block(block_id)
+                if full and self.enable_prefix_caching:
+                    block.hash = prefix_hash
+                    block.token_ids = token_ids
+                    self.hash_to_block_id[prefix_hash] = block_id
+            seq.block_table.append(block_id)
+        # A fully-cached prompt must still compute >=1 query token for logits.
+        seq.num_computed_tokens = min(seq.num_cached_tokens, len(seq) - 1)
+
+    def deallocate(self, seq: Sequence) -> None:
+        for block_id in reversed(seq.block_table):
+            block = self.blocks[block_id]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._release_block(block_id)
+        seq.num_cached_tokens = 0
+        seq.num_computed_tokens = 0
+        seq.block_table.clear()
+
+    def can_append(self, seq: Sequence) -> bool:
+        # Appending one token needs a fresh block only when the appended token
+        # opened a new block (len % bs == 1), cf. block_manager.py:93-94.
+        return self.num_free_blocks >= (len(seq) % self.block_size == 1)
+
+    def may_append(self, seq: Sequence) -> None:
+        block_table = seq.block_table
+        last_block = self.blocks[block_table[-1]]
+        n = len(seq)
+        if n % self.block_size == 1:
+            # previous block just filled and was sealed; open a new one
+            assert last_block.hash != -1 or not self.enable_prefix_caching
+            block_id = self.free_block_ids[0]
+            self._take_block(block_id)
+            block_table.append(block_id)
+        elif n % self.block_size == 0:
+            # last block just became full: seal it with its chained hash
+            assert last_block.hash == -1
+            if self.enable_prefix_caching:
+                token_ids = seq.block(seq.num_blocks - 1)
+                prefix = (
+                    self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+                )
+                h = hash_block_tokens(token_ids, prefix)
+                last_block.hash = h
+                last_block.token_ids = token_ids
+                self.hash_to_block_id[h] = last_block.block_id
+        else:
+            assert last_block.hash == -1

@@ -1,0 +1,149 @@
+"""Top-level engine: request intake, step loop, detokenization.
+
+API parity with the reference engine
+(`/root/reference/nanovllm/engine/llm_engine.py:17-93`):
+``add_request(prompt | token_ids, sampling_params)``, ``step() -> (outputs,
+num_tokens)`` with the same sign contract (>0 = prefill tokens, <0 = -decode
+tokens, llm_engine.py:48-54), ``generate`` returning ``{"text", "token_ids"}``
+dicts in request order, live prefill/decode throughput display.
+
+No worker processes: the runner drives a (possibly multi-device) jitted
+program from this single controller (multi-host replicates this engine via
+jax.distributed — deterministic scheduling + seeded sampling keep replicas in
+lockstep, replacing the reference's SHM pickle RPC, model_runner.py:49-91).
+"""
+
+from __future__ import annotations
+
+import atexit
+import logging
+import time
+
+from glm4_moe_nano_vllm_tpu.config import Config
+from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class LLMEngine:
+    def __init__(self, model: str, **kwargs):
+        config_fields = {f for f in Config.__dataclass_fields__}
+        config_kwargs = {k: v for k, v in kwargs.items() if k in config_fields}
+        unknown = set(kwargs) - set(config_kwargs)
+        if unknown:
+            raise TypeError(f"unknown engine arguments: {sorted(unknown)}")
+        config = Config(model, **config_kwargs)
+
+        self.tokenizer = None
+        if model:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model)
+            if config.eos in (-1, None) and self.tokenizer.eos_token_id is not None:
+                config.eos = self.tokenizer.eos_token_id
+
+        self.config = config
+        self.model_runner = ModelRunner(config)
+        self.scheduler = Scheduler(config)
+        if not config.enforce_eager:
+            self.model_runner.warmup()
+        atexit.register(self.exit)
+
+    def exit(self):
+        pass  # no worker processes / shared memory to tear down
+
+    # ---- request intake --------------------------------------------------
+
+    def add_request(self, prompt: str | list[int], sampling_params: SamplingParams):
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompts need a tokenizer"
+            prompt = self.tokenizer.encode(prompt)
+        if not prompt:
+            raise ValueError("prompt must contain at least one token")
+        if len(prompt) >= self.config.max_model_len:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds max_model_len "
+                f"{self.config.max_model_len} (need >=1 slot for generation)"
+            )
+        seq = Sequence(prompt, sampling_params,
+                       block_size=self.config.kvcache_block_size)
+        self.scheduler.add(seq)
+        return seq
+
+    # ---- stepping --------------------------------------------------------
+
+    def step(self):
+        """Run one engine iteration.
+
+        Returns ``(outputs, num_tokens)`` where outputs are the finished
+        sequences' ``(seq_id, completion_token_ids)`` and num_tokens follows
+        the reference sign convention (prefill positive / decode negative).
+        """
+        batch = self.scheduler.schedule()
+        token_ids = self.model_runner.run(batch)
+        self.scheduler.postprocess(batch, token_ids)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids)
+            for seq in batch.seqs
+            if seq.is_finished
+        ]
+        num_tokens = batch.num_tokens if batch.is_prefill else -len(batch.seqs)
+        return outputs, num_tokens
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    # ---- generate --------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams],
+        use_tqdm: bool = True,
+    ) -> list[dict]:
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        seqs = [self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)]
+        order = {seq.seq_id: i for i, seq in enumerate(seqs)}
+
+        pbar = None
+        if use_tqdm:
+            try:
+                from tqdm.auto import tqdm
+
+                pbar = tqdm(total=len(seqs), desc="Generating", dynamic_ncols=True)
+            except ImportError:
+                pass
+
+        outputs: dict[int, list[int]] = {}
+        prefill_tput = decode_tput = 0.0
+        while not self.is_finished():
+            t0 = time.perf_counter()
+            done, num_tokens = self.step()
+            dt = time.perf_counter() - t0
+            if num_tokens > 0:
+                prefill_tput = num_tokens / dt
+            else:
+                decode_tput = -num_tokens / dt
+            for seq_id, completion in done:
+                outputs[seq_id] = completion
+                if pbar:
+                    pbar.set_postfix({
+                        "Prefill": f"{int(prefill_tput)}tok/s",
+                        "Decode": f"{int(decode_tput)}tok/s",
+                    })
+                    pbar.update(1)
+        if pbar:
+            pbar.close()
+
+        results = [outputs[seq.seq_id] for seq in seqs]
+        return [
+            {
+                "text": self.tokenizer.decode(t) if self.tokenizer else "",
+                "token_ids": t,
+            }
+            for t in results
+        ]

@@ -1,0 +1,217 @@
+"""Model runner: batch preparation + jitted fixed-shape step programs.
+
+TPU-native counterpart of the reference ModelRunner
+(`/root/reference/nanovllm/engine/model_runner.py`):
+  * ``prepare`` builds padded numpy arrays for a bucket shape — replacing
+    prepare_prefill/prepare_decode's flat varlen pinned-CPU tensors
+    (model_runner.py:133-187);
+  * one ``jax.jit``-compiled step per (num_seqs, q_len, max_blocks) bucket
+    replaces CUDA-graph capture/replay (model_runner.py:223-258): XLA
+    compiles the whole forward+sample program, caches by shape, and the
+    warmup loop AOT-compiles the decode bucket ladder;
+  * KV cache sizing from the device HBM budget replaces the
+    free-VRAM-derived allocation (model_runner.py:108-125);
+  * the KV cache pytree is donated every step, so XLA updates it in place.
+
+There is no per-rank worker process or SHM RPC (model_runner.py:49-91): on
+TPU, sharding is expressed with a device mesh inside one controller process
+(multi-host uses JAX's multi-controller runtime with this same code running
+replicated on every host).
+"""
+
+from __future__ import annotations
+
+import bisect
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glm4_moe_nano_vllm_tpu.config import Config
+from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
+from glm4_moe_nano_vllm_tpu.engine.scheduler import ScheduledBatch
+from glm4_moe_nano_vllm_tpu.layers.sampler import sample
+from glm4_moe_nano_vllm_tpu.models.registry import build_model
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+    "float8_e4m3fn": jnp.float8_e4m3fn,
+}
+
+
+def bucket_of(n: int, buckets: tuple) -> int:
+    """Smallest bucket >= n (last bucket if n exceeds all)."""
+    i = bisect.bisect_left(buckets, n)
+    return buckets[min(i, len(buckets) - 1)]
+
+
+class ModelRunner:
+    def __init__(self, config: Config, mesh=None, params=None):
+        self.config = config
+        mc = config.model_config
+        self.dtype = _DTYPES[config.dtype]
+        self.kv_dtype = _DTYPES[config.kv_cache_dtype]
+        self.mesh = mesh
+        self.model = build_model(mc, self.dtype)
+
+        t0 = time.perf_counter()
+        if params is not None:
+            self.params = params
+        elif config.model:
+            from glm4_moe_nano_vllm_tpu.utils.loader import load_params
+
+            self.params = load_params(self.model, config.model, mesh=mesh)
+        else:
+            self.params = self.model.init_params(jax.random.PRNGKey(0))
+        logger.info("params ready in %.1fs", time.perf_counter() - t0)
+
+        self.num_blocks = self._compute_num_blocks()
+        config.num_kvcache_blocks = self.num_blocks
+        self.caches = self.model.init_caches(
+            self.num_blocks, config.kvcache_block_size, self.kv_dtype
+        )
+        self.block_size = config.kvcache_block_size
+        # max-blocks bucket ladder for block tables
+        mb = config.max_blocks_per_seq
+        self.block_buckets = tuple(
+            sorted({min(2 ** i, mb) for i in range(0, 32) if 2 ** (i - 1) < mb} | {mb})
+        )
+        self._base_key = jax.random.PRNGKey(config.rng_seed)
+        self._step_counter = 0
+
+        self._jit_step = jax.jit(self._step_fn, donate_argnums=(1,))
+
+    # ---- device program --------------------------------------------------
+
+    def _step_fn(self, params, caches, batch: BatchInfo, key):
+        logits, caches = self.model.forward(params, caches, batch)
+        tokens = sample(logits, batch.temperatures, key)
+        return tokens, caches
+
+    # ---- memory ----------------------------------------------------------
+
+    def _kv_bytes_per_block(self) -> int:
+        mc = self.config.model_config
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        return (
+            2 * mc.num_layers * self.config.kvcache_block_size
+            * mc.num_kv_heads * mc.head_dim * itemsize
+        )
+
+    def _compute_num_blocks(self) -> int:
+        cfg = self.config
+        if cfg.num_kvcache_blocks > 0:
+            return cfg.num_kvcache_blocks
+        # HBM budget: total * utilization - live bytes (params), like the
+        # reference's free-VRAM computation (model_runner.py:108-119).
+        dev = jax.devices()[0]
+        total = cfg.hbm_bytes
+        used = sum(
+            x.nbytes for x in jax.tree.leaves(self.params)
+        )
+        if total <= 0:
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            total = stats.get("bytes_limit", 0)
+        if total <= 0:
+            # CPU / unknown backend: modest default
+            n = max((cfg.max_model_len * cfg.max_num_seqs) // cfg.kvcache_block_size, 16)
+            return min(n, 4096)
+        budget = int(total * cfg.gpu_memory_utilization) - used
+        n = budget // self._kv_bytes_per_block()
+        assert n > 0, "no HBM left for KV cache"
+        return n
+
+    # ---- batch preparation ----------------------------------------------
+
+    def prepare(self, batch: ScheduledBatch) -> BatchInfo:
+        seqs, q_lens = batch.seqs, batch.q_lens
+        cfg = self.config
+        if batch.is_prefill:
+            b = bucket_of(len(seqs), cfg.prefill_seq_buckets)
+            s = bucket_of(max(q_lens), cfg.prefill_len_buckets)
+        else:
+            b = bucket_of(len(seqs), cfg.decode_buckets)
+            s = 1
+
+        max_ctx_blocks = max(
+            (seq.num_computed_tokens + q + self.block_size - 1) // self.block_size
+            for seq, q in zip(seqs, q_lens)
+        )
+        mb = bucket_of(max_ctx_blocks, self.block_buckets)
+
+        token_ids = np.zeros((b, s), np.int32)
+        positions = np.zeros((b, s), np.int32)
+        slot_mapping = np.full((b, s), -1, np.int32)
+        block_tables = np.zeros((b, mb), np.int32)
+        context_lens = np.zeros((b,), np.int32)
+        last_q_idx = np.zeros((b,), np.int32)
+        temperatures = np.zeros((b,), np.float32)
+
+        for i, (seq, q) in enumerate(zip(seqs, q_lens)):
+            start = seq.num_computed_tokens
+            token_ids[i, :q] = seq.token_ids[start:start + q]
+            pos = np.arange(start, start + q, dtype=np.int32)
+            positions[i, :q] = pos
+            bt = np.asarray(seq.block_table, np.int32)
+            slot_mapping[i, :q] = bt[pos // self.block_size] * self.block_size + pos % self.block_size
+            # bt may cover the whole prompt while this chunk's context doesn't
+            n_bt = min(len(bt), mb)
+            block_tables[i, :n_bt] = bt[:n_bt]
+            context_lens[i] = start + q
+            last_q_idx[i] = q - 1
+            temperatures[i] = seq.temperature
+
+        return BatchInfo(
+            token_ids=jnp.asarray(token_ids),
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_mapping.reshape(-1)),
+            block_tables=jnp.asarray(block_tables),
+            context_lens=jnp.asarray(context_lens),
+            last_q_idx=jnp.asarray(last_q_idx),
+            temperatures=jnp.asarray(temperatures),
+        )
+
+    # ---- execution -------------------------------------------------------
+
+    def run(self, batch: ScheduledBatch) -> list[int]:
+        info = self.prepare(batch)
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
+        return np.asarray(tokens)[: len(batch.seqs)].tolist()
+
+    def _dummy_info(self, b: int, s: int, mb: int) -> BatchInfo:
+        """Bucket-shaped batch whose writes are all slot == -1 no-ops (the
+        reference's padding convention for graph capture, model_runner.py:207)."""
+        return BatchInfo(
+            token_ids=jnp.zeros((b, s), jnp.int32),
+            positions=jnp.zeros((b, s), jnp.int32),
+            slot_mapping=jnp.full((b * s,), -1, jnp.int32),
+            block_tables=jnp.zeros((b, mb), jnp.int32),
+            context_lens=jnp.zeros((b,), jnp.int32),
+            last_q_idx=jnp.zeros((b,), jnp.int32),
+            temperatures=jnp.zeros((b,), jnp.float32),
+        )
+
+    def warmup(self):
+        """AOT-compile the decode bucket ladder (TPU stand-in for CUDA-graph
+        capture, model_runner.py:223-258)."""
+        t0 = time.perf_counter()
+        key = jax.random.PRNGKey(0)
+        n = 0
+        for b in self.config.decode_buckets:
+            if b > self.config.max_num_seqs:
+                break
+            for mb in self.block_buckets:
+                info = self._dummy_info(b, 1, mb)
+                tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
+                n += 1
+        tokens.block_until_ready()
+        logger.info("warmup compiled %d decode programs in %.1fs",
+                    n, time.perf_counter() - t0)

@@ -1,0 +1,159 @@
+"""Continuous-batching scheduler: prefill priority, tail preemption, chunking.
+
+Parity with the reference scheduler
+(`/root/reference/nanovllm/engine/scheduler.py:24-71`):
+  * prefill-first admission from the waiting queue under a token budget and
+    block availability (scheduler.py:29-41);
+  * decode batches over the running queue with ``may_append`` bookkeeping and
+    tail preemption under block pressure (scheduler.py:44-58);
+  * postprocess appends the sampled token and finishes on EOS / max_tokens
+    (scheduler.py:65-71).
+
+TPU-specific addition: **chunked prefill**. One XLA program has a fixed shape,
+so a long prompt is prefilled in ``prefill_chunk_size`` slices; a sequence
+whose prompt is partially computed stays at the head of the prefill phase
+until done. The reference prefills whole prompts in a single step
+(scheduler.py:31 admits only if the full length fits the budget).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+from glm4_moe_nano_vllm_tpu.config import Config
+from glm4_moe_nano_vllm_tpu.engine.block_manager import BlockManager
+from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+@dataclass
+class ScheduledBatch:
+    seqs: list[Sequence]
+    is_prefill: bool
+    # per-seq number of query tokens this step (prefill only; decode is all 1s)
+    q_lens: list[int]
+
+    @property
+    def num_tokens(self) -> int:
+        return sum(self.q_lens)
+
+
+class Scheduler:
+    def __init__(self, config: Config):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.prefill_chunk_size = (
+            config.prefill_chunk_size
+            if config.enable_chunked_prefill
+            else config.max_model_len
+        )
+        self.eos = config.eos
+        self.max_model_len = config.max_model_len
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks,
+            config.kvcache_block_size,
+            config.enable_prefix_caching,
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def has_unfinished(self) -> bool:
+        return not self.is_finished()
+
+    def add(self, seq: Sequence) -> None:
+        seq.block_size = self.block_manager.block_size
+        self.waiting.append(seq)
+
+    def schedule(self) -> ScheduledBatch:
+        # ---- prefill phase -------------------------------------------------
+        scheduled: list[Sequence] = []
+        q_lens: list[int] = []
+        budget = self.max_num_batched_tokens
+
+        # Continuation chunks for partially-prefilled running seqs first.
+        for seq in self.running:
+            if len(scheduled) >= self.max_num_seqs or budget <= 0:
+                break
+            if not seq.prompt_done:
+                q = min(seq.num_remaining_tokens, self.prefill_chunk_size, budget)
+                if q > 0:
+                    scheduled.append(seq)
+                    q_lens.append(q)
+                    budget -= q
+
+        # Fresh admissions from the waiting queue (FCFS).
+        while self.waiting and len(self.running) < self.max_num_seqs and len(scheduled) < self.max_num_seqs:
+            seq = self.waiting[0]
+            if not self.block_manager.can_allocate(seq):
+                break
+            # Admission requires room for at least one full chunk (or the whole
+            # short prompt) so tiny leftover budgets don't shred prompts.
+            if min(len(seq), self.prefill_chunk_size) > budget:
+                break
+            self.block_manager.allocate(seq)
+            # prefix-cache hits shrink this chunk's query span
+            q = min(seq.num_remaining_tokens, self.prefill_chunk_size, budget)
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled.append(seq)
+            q_lens.append(q)
+            budget -= q
+        if scheduled:
+            return ScheduledBatch(scheduled, is_prefill=True, q_lens=q_lens)
+
+        # ---- decode phase --------------------------------------------------
+        num = 0
+        while self.running and num < self.max_num_seqs:
+            seq = self.running.popleft()
+            while not self.block_manager.can_append(seq):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    break
+            else:
+                num += 1
+                self.block_manager.may_append(seq)
+                scheduled.append(seq)
+        assert scheduled, "scheduler deadlock: nothing runnable"
+        self.running.extendleft(reversed(scheduled))
+        return ScheduledBatch(scheduled, is_prefill=False, q_lens=[1] * len(scheduled))
+
+    def preempt(self, seq: Sequence) -> None:
+        if seq in self.running:
+            self.running.remove(seq)
+        seq.status = SequenceStatus.WAITING
+        self.block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+
+    def postprocess(self, batch: ScheduledBatch, token_ids: list[int]) -> None:
+        """Advance state after a step.
+
+        Prefill steps advance ``num_computed_tokens``; the final prompt chunk
+        also yields a sampled token. Decode steps always yield a token.
+        """
+        if batch.is_prefill:
+            for seq, q, token_id in zip(batch.seqs, batch.q_lens, token_ids):
+                seq.num_computed_tokens += q
+                if seq.num_remaining_tokens == 0:
+                    # final chunk: sampled from the last token's logits
+                    self._append_and_maybe_finish(seq, token_id)
+        else:
+            for seq, token_id in zip(batch.seqs, token_ids):
+                seq.num_computed_tokens += 1
+                self._append_and_maybe_finish(seq, token_id)
+
+    def _append_and_maybe_finish(self, seq: Sequence, token_id: int) -> None:
+        seq.append_token(token_id)
+        if (
+            (not seq.ignore_eos and token_id == self.eos)
+            or seq.num_completion_tokens >= seq.max_tokens
+            or len(seq) >= self.max_model_len  # context-window cap
+        ):
+            seq.status = SequenceStatus.FINISHED
+            self.block_manager.deallocate(seq)
+            self.running.remove(seq)

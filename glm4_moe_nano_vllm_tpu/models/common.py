@@ -1,0 +1,105 @@
+"""Shared transformer building blocks (functional JAX).
+
+Models are pure functions over parameter pytrees; layers are stacked along a
+leading axis and iterated with ``lax.scan`` so the whole decoder traces once
+(compile time stays flat in depth — the TPU answer to the reference's
+per-layer eager modules, `/root/reference/nanovllm/models/qwen3.py:156-177`).
+
+The attention block reproduces the reference attention data flow
+(`/root/reference/nanovllm/models/glm4_moe/attention_new.py:281-365` and
+`qwen3.py:14-82`): qkv projection → optional per-head q/k RMS-norm →
+(partial) RoPE → KV scatter into the paged cache → paged attention → output
+projection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from glm4_moe_nano_vllm_tpu.config import ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
+from glm4_moe_nano_vllm_tpu.layers.activation import silu_and_mul
+from glm4_moe_nano_vllm_tpu.layers.normalization import rms_norm
+from glm4_moe_nano_vllm_tpu.layers.rotary import apply_rope
+from glm4_moe_nano_vllm_tpu.ops.attention import paged_attention
+from glm4_moe_nano_vllm_tpu.ops.kv_cache import write_kv
+
+Params = dict[str, Any]
+
+
+def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    out = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def attention_block(
+    x: jax.Array,  # [B, S, hidden]
+    lp: Params,  # one layer's attention params
+    k_cache: jax.Array,  # [num_blocks, bs, H_kv, D]
+    v_cache: jax.Array,
+    batch: BatchInfo,
+    cfg: ModelConfig,
+    inv_freq: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    b, s, _ = x.shape
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rotary_dim = int(d * cfg.partial_rotary_factor)
+
+    q = linear(x, lp["wq"], lp.get("bq")).reshape(b, s, nq, d)
+    k = linear(x, lp["wk"], lp.get("bk")).reshape(b, s, nkv, d)
+    v = linear(x, lp["wv"], lp.get("bv")).reshape(b, s, nkv, d)
+
+    if cfg.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+
+    q, k = apply_rope(q, k, batch.positions, inv_freq, rotary_dim)
+
+    k_cache, v_cache = write_kv(
+        k_cache, v_cache,
+        k.reshape(b * s, nkv, d), v.reshape(b * s, nkv, d),
+        batch.slot_mapping,
+    )
+
+    o = paged_attention(
+        q, k_cache, v_cache,
+        batch.block_tables, batch.context_lens, batch.positions,
+        sm_scale=1.0 / math.sqrt(d),
+    )
+    out = linear(o.reshape(b, s, nq * d), lp["wo"])
+    return out, k_cache, v_cache
+
+
+def mlp_block(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.Array:
+    return linear(silu_and_mul(linear(x, wg), linear(x, wu)), wd)
+
+
+def embed(token_ids: jax.Array, embedding: jax.Array) -> jax.Array:
+    return jnp.take(embedding, token_ids, axis=0)
+
+
+def compute_logits(
+    hidden: jax.Array,  # [B, S, H]
+    final_norm_w: jax.Array,
+    lm_head: jax.Array,  # [H, V]
+    last_q_idx: jax.Array,  # [B]
+    eps: float,
+) -> jax.Array:
+    """Gather each sequence's last real token then project to the vocab.
+
+    The gather-before-matmul mirrors the reference's prefill logits path
+    (`embed_head.py:59-62`): only B rows hit the [H, V] matmul.
+    """
+    last = jnp.take_along_axis(hidden, last_q_idx[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, final_norm_w, eps)
+    return jnp.dot(last, lm_head, preferred_element_type=jnp.float32)
+
+
+def init_linear(key, shape, dtype, scale=0.02):
+    return (scale * jax.random.normal(key, shape, dtype=jnp.float32)).astype(dtype)

@@ -1,0 +1,180 @@
+"""GLM-4 MoE causal LM (e.g. GLM-4.5-Air), functional JAX.
+
+Capability parity with `/root/reference/nanovllm/models/glm4_moe/`:
+  * first ``first_k_dense_replace`` decoder layers use a dense MLP, the rest
+    use MoE (decode_layer.py:25-36) — here: two layer stacks, two scans;
+  * sigmoid top-k router with e_score_correction_bias selection semantics and
+    one shared expert added to the routed output (moe.py:28-69, 165-171);
+  * partial rotary (factor 0.5), optional per-head q/k norm, optional
+    attention bias (attention_new.py:83-98);
+  * unlike the reference's debug state (model.py:20-22 loads only 2 layers and
+    reads golden tensors from dev paths), this is a complete implementation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from glm4_moe_nano_vllm_tpu.config import ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
+from glm4_moe_nano_vllm_tpu.layers.normalization import rms_norm
+from glm4_moe_nano_vllm_tpu.layers.rotary import rope_inv_freq
+from glm4_moe_nano_vllm_tpu.models.common import (
+    attention_block,
+    compute_logits,
+    embed,
+    init_linear,
+    mlp_block,
+)
+from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, route_topk
+
+
+class Glm4MoeForCausalLM:
+    def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16):
+        assert cfg.is_moe
+        assert cfg.n_group == 1 and cfg.topk_group == 1, (
+            "grouped expert selection not used by GLM-4.5 (reference moe.py:21-22)"
+        )
+        self.cfg = cfg
+        self.dtype = dtype
+        self.num_dense = cfg.first_k_dense_replace
+        self.num_moe = cfg.num_layers - self.num_dense
+
+    # ---- parameters ------------------------------------------------------
+
+    def _attn_params(self, key, n_layers):
+        cfg, dt = self.cfg, self.dtype
+        H = cfg.hidden_size
+        nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        ks = jax.random.split(key, 4)
+        p = {
+            "input_norm": jnp.ones((n_layers, H), dt),
+            "post_norm": jnp.ones((n_layers, H), dt),
+            "wq": init_linear(ks[0], (n_layers, H, nq * d), dt),
+            "wk": init_linear(ks[1], (n_layers, H, nkv * d), dt),
+            "wv": init_linear(ks[2], (n_layers, H, nkv * d), dt),
+            "wo": init_linear(ks[3], (n_layers, nq * d, H), dt),
+        }
+        if cfg.use_qk_norm:
+            p["q_norm"] = jnp.ones((n_layers, d), dt)
+            p["k_norm"] = jnp.ones((n_layers, d), dt)
+        if cfg.attention_bias:
+            p["bq"] = jnp.zeros((n_layers, nq * d), dt)
+            p["bk"] = jnp.zeros((n_layers, nkv * d), dt)
+            p["bv"] = jnp.zeros((n_layers, nkv * d), dt)
+        return p
+
+    def init_params(self, key: jax.Array):
+        cfg, dt = self.cfg, self.dtype
+        H, I = cfg.hidden_size, cfg.intermediate_size
+        E, Im = cfg.n_routed_experts, cfg.moe_intermediate_size
+        Is = Im * max(cfg.n_shared_experts, 1)
+        Ld, Lm = self.num_dense, self.num_moe
+        ks = jax.random.split(key, 12)
+
+        dense_layers = {}
+        if Ld > 0:
+            dense_layers = self._attn_params(ks[0], Ld)
+            dense_layers.update({
+                "gate": init_linear(ks[1], (Ld, H, I), dt),
+                "up": init_linear(ks[2], (Ld, H, I), dt),
+                "down": init_linear(ks[3], (Ld, I, H), dt),
+            })
+
+        moe_layers = self._attn_params(ks[4], Lm)
+        moe_layers.update({
+            "router_w": init_linear(ks[5], (Lm, E, H), jnp.float32),
+            "router_bias": jnp.zeros((Lm, E), jnp.float32),
+            "expert_gate": init_linear(ks[6], (Lm, E, H, Im), dt),
+            "expert_up": init_linear(ks[7], (Lm, E, H, Im), dt),
+            "expert_down": init_linear(ks[8], (Lm, E, Im, H), dt),
+            "shared_gate": init_linear(ks[9], (Lm, H, Is), dt),
+            "shared_up": init_linear(ks[10], (Lm, H, Is), dt),
+            "shared_down": init_linear(ks[11], (Lm, Is, H), dt),
+        })
+
+        params = {
+            "embed": init_linear(jax.random.fold_in(key, 1), (cfg.vocab_size, H), dt),
+            "dense_layers": dense_layers,
+            "moe_layers": moe_layers,
+            "final_norm": jnp.ones((H,), dt),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init_linear(
+                jax.random.fold_in(key, 2), (H, cfg.vocab_size), dt
+            )
+        return params
+
+    def init_caches(self, num_blocks: int, block_size: int, kv_dtype=None):
+        cfg = self.cfg
+        dt = kv_dtype or self.dtype
+        kd, hd = cfg.num_kv_heads, cfg.head_dim
+
+        def zeros(n):
+            return jnp.zeros((n, num_blocks, block_size, kd, hd), dt)
+
+        return {
+            "dense_k": zeros(self.num_dense), "dense_v": zeros(self.num_dense),
+            "moe_k": zeros(self.num_moe), "moe_v": zeros(self.num_moe),
+        }
+
+    # ---- forward ---------------------------------------------------------
+
+    def forward(self, params, caches, batch: BatchInfo):
+        cfg = self.cfg
+        rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
+        inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
+        x = embed(batch.token_ids, params["embed"])
+        b, s, h = x.shape
+
+        def dense_body(x, xs):
+            lp, kc, vc = xs
+            hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
+            x = x + a
+            hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
+            return x, (kc, vc)
+
+        def moe_body(x, xs):
+            lp, kc, vc = xs
+            hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
+            x = x + a
+            hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            flat = hh.reshape(b * s, h)
+            topk_idx, topk_w = route_topk(
+                flat, lp["router_w"], lp["router_bias"],
+                cfg.num_experts_per_tok, cfg.routed_scaling_factor,
+                cfg.norm_topk_prob,
+            )
+            routed = moe_experts(
+                flat, topk_idx, topk_w,
+                lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+            )
+            shared = mlp_block(
+                flat, lp["shared_gate"], lp["shared_up"], lp["shared_down"]
+            )
+            x = x + (routed + shared).reshape(b, s, h)
+            return x, (kc, vc)
+
+        new_caches = dict(caches)
+        if self.num_dense > 0:
+            x, (kd, vd) = jax.lax.scan(
+                dense_body, x,
+                (params["dense_layers"], caches["dense_k"], caches["dense_v"]),
+            )
+            new_caches["dense_k"], new_caches["dense_v"] = kd, vd
+        x, (km, vm) = jax.lax.scan(
+            moe_body, x, (params["moe_layers"], caches["moe_k"], caches["moe_v"])
+        )
+        new_caches["moe_k"], new_caches["moe_v"] = km, vm
+
+        lm_head = params.get("lm_head")
+        if lm_head is None:
+            lm_head = params["embed"].T
+        logits = compute_logits(
+            x, params["final_norm"], lm_head, batch.last_q_idx, cfg.rms_norm_eps
+        )
+        return logits, new_caches

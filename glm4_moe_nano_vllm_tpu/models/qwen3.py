@@ -1,0 +1,101 @@
+"""Qwen3 dense causal LM (functional JAX, layer-stacked + lax.scan).
+
+Capability parity with `/root/reference/nanovllm/models/qwen3.py:14-210`:
+per-head q/k RMS-norm, full rotary, SiLU-gated MLP, optional tied embeddings.
+Weight names follow the HF checkpoint layout; the loader maps
+``model.layers.{i}.self_attn.q_proj.weight`` etc. into stacked arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from glm4_moe_nano_vllm_tpu.config import ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
+from glm4_moe_nano_vllm_tpu.layers.normalization import rms_norm
+from glm4_moe_nano_vllm_tpu.layers.rotary import rope_inv_freq
+from glm4_moe_nano_vllm_tpu.models.common import (
+    attention_block,
+    compute_logits,
+    embed,
+    init_linear,
+    mlp_block,
+)
+
+
+class Qwen3ForCausalLM:
+    def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16):
+        assert not cfg.is_moe
+        self.cfg = cfg
+        self.dtype = dtype
+
+    # ---- parameters ------------------------------------------------------
+
+    def init_params(self, key: jax.Array):
+        cfg, dt = self.cfg, self.dtype
+        L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+        nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        ks = jax.random.split(key, 8)
+        layers = {
+            "input_norm": jnp.ones((L, H), dt),
+            "post_norm": jnp.ones((L, H), dt),
+            "wq": init_linear(ks[0], (L, H, nq * d), dt),
+            "wk": init_linear(ks[1], (L, H, nkv * d), dt),
+            "wv": init_linear(ks[2], (L, H, nkv * d), dt),
+            "wo": init_linear(ks[3], (L, nq * d, H), dt),
+            "gate": init_linear(ks[4], (L, H, I), dt),
+            "up": init_linear(ks[5], (L, H, I), dt),
+            "down": init_linear(ks[6], (L, I, H), dt),
+        }
+        if cfg.use_qk_norm:
+            layers["q_norm"] = jnp.ones((L, d), dt)
+            layers["k_norm"] = jnp.ones((L, d), dt)
+        if cfg.attention_bias:
+            layers["bq"] = jnp.zeros((L, nq * d), dt)
+            layers["bk"] = jnp.zeros((L, nkv * d), dt)
+            layers["bv"] = jnp.zeros((L, nkv * d), dt)
+        params = {
+            "embed": init_linear(ks[7], (cfg.vocab_size, H), dt),
+            "layers": layers,
+            "final_norm": jnp.ones((H,), dt),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init_linear(
+                jax.random.fold_in(key, 99), (H, cfg.vocab_size), dt
+            )
+        return params
+
+    def init_caches(self, num_blocks: int, block_size: int, kv_dtype=None):
+        cfg = self.cfg
+        shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+        dt = kv_dtype or self.dtype
+        return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+    # ---- forward ---------------------------------------------------------
+
+    def forward(self, params, caches, batch: BatchInfo):
+        cfg = self.cfg
+        rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
+        inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
+        x = embed(batch.token_ids, params["embed"])
+
+        def body(x, xs):
+            lp, kc, vc = xs
+            h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+            a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq)
+            x = x + a
+            h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
+            return x, (kc, vc)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["layers"], caches["k"], caches["v"])
+        )
+        lm_head = params.get("lm_head")
+        if lm_head is None:
+            lm_head = params["embed"].T
+        logits = compute_logits(
+            x, params["final_norm"], lm_head, batch.last_q_idx, cfg.rms_norm_eps
+        )
+        return logits, {"k": k_new, "v": v_new}

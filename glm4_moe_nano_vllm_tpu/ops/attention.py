@@ -1,0 +1,52 @@
+"""Paged attention dispatch: Pallas kernels on TPU, XLA reference elsewhere.
+
+Replaces the reference's FlashAttention calls
+(`/root/reference/nanovllm/layers/attention.py:97-107`). The interface is one
+unified (prefill+decode) paged attention over HBM KV blocks; decode is the
+q_len == 1 special case.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+from glm4_moe_nano_vllm_tpu.ops.attention_ref import paged_attention_ref
+
+
+@functools.cache
+def _use_pallas() -> bool:
+    if os.environ.get("NVT_FORCE_REF_ATTENTION"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        import glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def paged_attention(
+    q: jax.Array,  # [B, S_q, H_q, D]
+    k_cache: jax.Array,  # [num_blocks, block_size, H_kv, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # [B, max_blocks]
+    context_lens: jax.Array,  # [B]
+    positions: jax.Array,  # [B, S_q]
+    sm_scale: float,
+) -> jax.Array:
+    if _use_pallas():
+        from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
+            paged_attention_pallas,
+        )
+
+        return paged_attention_pallas(
+            q, k_cache, v_cache, block_tables, context_lens, positions, sm_scale
+        )
+    return paged_attention_ref(
+        q, k_cache, v_cache, block_tables, context_lens, positions, sm_scale
+    )

@@ -1,0 +1,74 @@
+"""MoE routing + grouped expert compute (sort-based, ragged matmuls).
+
+Routing semantics are exactly the reference's GLM-4 sigmoid top-k router
+(`/root/reference/nanovllm/models/glm4_moe/moe.py:28-50`):
+  * scores = sigmoid(router_logits), fp32;
+  * the **selection** adds ``e_score_correction_bias``; the **weights** are the
+    pre-bias scores gathered at the selected experts (moe.py:38-41);
+  * weights are sum-normalized (+1e-20) then scaled by
+    ``routed_scaling_factor`` (moe.py:43-46).
+
+Expert compute replaces the reference's Python loop over 128 expert modules
+(moe.py:135-151, O(E) kernel launches) with the TPU-idiomatic sorted-dispatch
+grouped matmul: flatten (token, k) assignments, stable-sort by expert id, run
+three ``jax.lax.ragged_dot`` grouped GEMMs (gate/up/down) over expert-
+contiguous rows, and scatter-add results back — O(1) fused programs, MXU-
+shaped, and the same layout a Pallas/Megablox GMM kernel drops into later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from glm4_moe_nano_vllm_tpu.layers.activation import silu_and_mul
+
+
+def route_topk(
+    x: jax.Array,  # [T, H]
+    router_w: jax.Array,  # [E, H]
+    correction_bias: jax.Array,  # [E] fp32
+    top_k: int,
+    routed_scaling_factor: float,
+    norm_topk_prob: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (topk_idx [T,K] int32, topk_weights [T,K] fp32)."""
+    logits = jnp.dot(
+        x.astype(jnp.float32), router_w.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jax.nn.sigmoid(logits)
+    scores_for_choice = scores + correction_bias[None, :].astype(jnp.float32)
+    _, topk_idx = jax.lax.top_k(scores_for_choice, top_k)
+    topk_w = jnp.take_along_axis(scores, topk_idx, axis=-1)
+    if norm_topk_prob:
+        topk_w = topk_w / (jnp.sum(topk_w, axis=-1, keepdims=True) + 1e-20)
+    topk_w = topk_w * routed_scaling_factor
+    return topk_idx.astype(jnp.int32), topk_w
+
+
+def moe_experts(
+    x: jax.Array,  # [T, H]
+    topk_idx: jax.Array,  # [T, K]
+    topk_w: jax.Array,  # [T, K] fp32
+    w_gate: jax.Array,  # [E, H, I]
+    w_up: jax.Array,  # [E, H, I]
+    w_down: jax.Array,  # [E, I, H]
+) -> jax.Array:
+    t, k = topk_idx.shape
+    e = w_gate.shape[0]
+    flat_e = topk_idx.reshape(-1)  # [T*K]
+    sort_i = jnp.argsort(flat_e)  # stable
+    tok_i = sort_i // k  # source token of each sorted assignment
+    xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
+    group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
+
+    g = jax.lax.ragged_dot(xs, w_gate, group_sizes)
+    u = jax.lax.ragged_dot(xs, w_up, group_sizes)
+    h = silu_and_mul(g, u).astype(x.dtype)
+    o = jax.lax.ragged_dot(h, w_down, group_sizes)  # [T*K, H]
+
+    w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
+    o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)
+    out = jnp.zeros_like(x).at[tok_i].add(o)
+    return out

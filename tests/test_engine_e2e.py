@@ -1,0 +1,142 @@
+"""End-to-end engine tests on a tiny random-weight model (CPU backend).
+
+Exercises the full stack: scheduler → block manager → runner prepare →
+jitted forward (paged attention, KV scatter) → sampler → postprocess.
+"""
+
+import numpy as np
+import pytest
+
+from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.llm_engine import LLMEngine
+from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+TINY = ModelConfig(
+    architecture="qwen3",
+    vocab_size=128,
+    hidden_size=64,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=2048,
+    tie_word_embeddings=True,
+    eos_token_id=0,
+)
+
+TINY_MOE = ModelConfig(
+    architecture="glm4_moe",
+    vocab_size=128,
+    hidden_size=64,
+    num_layers=3,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=2048,
+    partial_rotary_factor=0.5,
+    use_qk_norm=True,
+    attention_bias=True,
+    tie_word_embeddings=True,
+    eos_token_id=0,
+    n_routed_experts=8,
+    num_experts_per_tok=2,
+    moe_intermediate_size=32,
+    n_shared_experts=1,
+    first_k_dense_replace=1,
+    routed_scaling_factor=1.5,
+)
+
+
+def make_engine(mc, **kw):
+    defaults = dict(
+        model="",
+        model_config=mc,
+        max_num_batched_tokens=512,
+        max_num_seqs=8,
+        max_model_len=256,
+        kvcache_block_size=16,
+        num_kvcache_blocks=128,
+        prefill_chunk_size=64,
+        enforce_eager=True,
+        dtype="float32",
+        kv_cache_dtype="float32",
+        decode_buckets=(1, 2, 4, 8),
+        prefill_seq_buckets=(1, 2, 4, 8),
+        prefill_len_buckets=(16, 32, 64),
+    )
+    defaults.update(kw)
+    return LLMEngine(**defaults)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_engine(TINY)
+
+
+def gen(engine, prompts, **sp):
+    params = SamplingParams(**{"temperature": 0.0, "max_tokens": 8, **sp})
+    outs = engine.generate(prompts, params, use_tqdm=False)
+    return [o["token_ids"] for o in outs]
+
+
+def test_greedy_generation_runs(engine):
+    outs = gen(engine, [[1, 2, 3, 4], [5, 6, 7]], ignore_eos=True)
+    assert len(outs) == 2
+    assert all(len(o) == 8 for o in outs)
+    assert all(0 <= t < TINY.vocab_size for o in outs for t in o)
+
+
+def test_greedy_is_deterministic_and_batch_invariant(engine):
+    a = gen(engine, [[1, 2, 3, 4]], ignore_eos=True)[0]
+    b = gen(engine, [[1, 2, 3, 4], [9, 8, 7, 6, 5]], ignore_eos=True)[0]
+    assert a == b, "same prompt must decode identically regardless of batching"
+
+
+def test_prefix_cache_does_not_change_output(engine):
+    prompt = list(range(1, 40))  # spans 2 full blocks of 16
+    first = gen(engine, [prompt], ignore_eos=True)[0]
+    again = gen(engine, [prompt], ignore_eos=True)[0]  # now prefix-cached
+    assert first == again
+
+
+def test_chunked_prefill_matches_single_shot():
+    long_prompt = [(i * 7) % 120 + 1 for i in range(150)]  # > chunk 64
+    e_chunked = make_engine(TINY, prefill_chunk_size=64)
+    e_whole = make_engine(TINY, prefill_chunk_size=256, max_num_batched_tokens=512)
+    a = gen(e_chunked, [long_prompt], ignore_eos=True)[0]
+    b = gen(e_whole, [long_prompt], ignore_eos=True)[0]
+    assert a == b
+
+
+def test_sampled_generation_with_temperature(engine):
+    outs = gen(engine, [[1, 2, 3]], temperature=1.0, ignore_eos=True)
+    assert len(outs[0]) == 8
+
+
+def test_mixed_greedy_and_sampled_batch(engine):
+    prompts = [[1, 2, 3, 4], [1, 2, 3, 4]]
+    params = [
+        SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True),
+        SamplingParams(temperature=5.0, max_tokens=8, ignore_eos=True),
+    ]
+    outs = engine.generate(prompts, params, use_tqdm=False)
+    greedy_alone = gen(engine, [[1, 2, 3, 4]], ignore_eos=True)[0]
+    assert outs[0]["token_ids"] == greedy_alone
+
+
+def test_many_sequences_continuous_batching(engine):
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 120, size=rng.integers(3, 60)).tolist() for _ in range(20)]
+    outs = gen(engine, prompts, max_tokens=5, ignore_eos=True)
+    assert len(outs) == 20
+    assert all(len(o) == 5 for o in outs)
+
+
+def test_glm4_moe_generation():
+    e = make_engine(TINY_MOE)
+    outs = gen(e, [[1, 2, 3, 4], [5, 6, 7]], ignore_eos=True)
+    assert all(len(o) == 8 for o in outs)
+    a = gen(e, [[1, 2, 3, 4]], ignore_eos=True)[0]
+    assert a == outs[0]

@@ -1,0 +1,138 @@
+"""Scheduler behavior tests: prefill priority, chunking, preemption, finish."""
+
+from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence, SequenceStatus
+from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+
+def make_scheduler(num_blocks=64, block_size=16, chunk=32, max_seqs=8,
+                   budget=256, eos=2, prefix_cache=True):
+    cfg = Config(
+        model="",
+        model_config=ModelConfig(max_position_embeddings=4096),
+        max_num_batched_tokens=budget,
+        max_num_seqs=max_seqs,
+        max_model_len=512,
+        kvcache_block_size=block_size,
+        num_kvcache_blocks=num_blocks,
+        prefill_chunk_size=chunk,
+        enable_prefix_caching=prefix_cache,
+        eos=eos,
+    )
+    return Scheduler(cfg)
+
+
+def seq_of(n_tokens, max_tokens=8, ignore_eos=True):
+    return Sequence(
+        list(range(3, 3 + n_tokens)),
+        SamplingParams(temperature=0.0, max_tokens=max_tokens, ignore_eos=ignore_eos),
+    )
+
+
+def test_prefill_then_decode():
+    s = make_scheduler()
+    a, b = seq_of(10), seq_of(20)
+    s.add(a), s.add(b)
+    batch = s.schedule()
+    assert batch.is_prefill
+    assert batch.seqs == [a, b]
+    assert batch.q_lens == [10, 20]
+    s.postprocess(batch, [100, 101])
+    assert a.token_ids[-1] == 100 and b.token_ids[-1] == 101
+    batch2 = s.schedule()
+    assert not batch2.is_prefill
+    assert batch2.q_lens == [1, 1]
+    s.postprocess(batch2, [102, 103])
+    assert a.num_completion_tokens == 2
+
+
+def test_chunked_prefill_long_prompt():
+    s = make_scheduler(chunk=32)
+    a = seq_of(80)
+    s.add(a)
+    b1 = s.schedule()
+    assert b1.is_prefill and b1.q_lens == [32]
+    s.postprocess(b1, [0])
+    assert a.num_computed_tokens == 32
+    assert len(a.token_ids) == 80  # no token sampled mid-prompt
+    b2 = s.schedule()
+    assert b2.q_lens == [32]
+    s.postprocess(b2, [0])
+    b3 = s.schedule()
+    assert b3.q_lens == [16]  # final chunk
+    s.postprocess(b3, [55])
+    assert a.token_ids[-1] == 55
+    assert a.num_remaining_tokens == 1
+    b4 = s.schedule()
+    assert not b4.is_prefill
+
+
+def test_token_budget_bounds_admission():
+    s = make_scheduler(budget=64, chunk=64)
+    a, b, c = seq_of(40), seq_of(40), seq_of(40)
+    for x in (a, b, c):
+        s.add(x)
+    batch = s.schedule()
+    assert batch.seqs == [a]  # 40+40 > 64
+    assert batch.q_lens == [40]
+
+
+def test_eos_finishes_sequence():
+    s = make_scheduler(eos=2)
+    a = seq_of(4, max_tokens=100, ignore_eos=False)
+    s.add(a)
+    s.postprocess(s.schedule(), [7])
+    s.postprocess(s.schedule(), [2])  # EOS
+    assert a.is_finished
+    assert s.is_finished()
+
+
+def test_max_tokens_finishes_sequence():
+    s = make_scheduler()
+    a = seq_of(4, max_tokens=2, ignore_eos=True)
+    s.add(a)
+    s.postprocess(s.schedule(), [7])
+    s.postprocess(s.schedule(), [7])
+    assert a.is_finished
+
+
+def test_preemption_under_block_pressure():
+    # 4 blocks of 16 tokens; two seqs of 30 tokens (2 blocks each) fill it.
+    s = make_scheduler(num_blocks=4, block_size=16, chunk=64, prefix_cache=False)
+    a, b = seq_of(30, max_tokens=64), seq_of(30, max_tokens=64)
+    s.add(a), s.add(b)
+    s.postprocess(s.schedule(), [9, 9])  # both prefilled: len 31 each
+    # decode to len 32 (fills block 2), then 33 -> each needs a 3rd block; none
+    # free -> tail preemption must kick in.
+    s.postprocess(s.schedule(), [9, 9])  # len 32
+    s.postprocess(s.schedule(), [9, 9])  # len 33 pending block alloc next step
+    batch = s.schedule()  # needs new blocks
+    assert len(batch.seqs) == 1  # one seq preempted
+    assert len(s.waiting) == 1
+    preempted = s.waiting[0]
+    assert preempted.status == SequenceStatus.WAITING
+    assert preempted.num_computed_tokens == 0
+    assert preempted.block_table == []
+
+
+def test_preempted_seq_recomputes_all_tokens():
+    s = make_scheduler(num_blocks=64, chunk=64, prefix_cache=False)
+    a = seq_of(10, max_tokens=64)
+    s.add(a)
+    s.postprocess(s.schedule(), [9])
+    s.postprocess(s.schedule(), [9])  # len 12
+    s.preempt(a)
+    batch = s.schedule()
+    assert batch.is_prefill
+    assert batch.q_lens == [12]  # prompt + generated tokens recomputed
+
+
+def test_scheduler_output_order_is_stable():
+    s = make_scheduler()
+    seqs = [seq_of(5) for _ in range(4)]
+    for x in seqs:
+        s.add(x)
+    s.postprocess(s.schedule(), [0, 0, 0, 0])
+    batch = s.schedule()
+    assert batch.seqs == seqs  # decode preserves running order
