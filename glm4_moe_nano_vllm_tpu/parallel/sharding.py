@@ -1,0 +1,131 @@
+"""Device mesh + parameter sharding rules (GSPMD / NamedSharding).
+
+TPU-native replacement for the reference's process-per-rank tensor
+parallelism (`/root/reference/nanovllm/engine/model_runner.py:27` NCCL init,
+`layers/linear.py:56-155` per-rank weight slicing, `parallel_state_ref.py`'s
+GroupCoordinator grid). Instead of slicing weights per rank in Python and
+calling collectives by hand, each parameter carries a ``PartitionSpec``; XLA
+inserts the all-reduces (o_proj/down_proj contractions over the sharded axis)
+and all-gathers (vocab-sharded logits) over ICI.
+
+Mesh axes:
+  * ``dp`` — data parallel: batch rows (engine-level replicas in multi-host).
+  * ``tp`` — model parallel: attention heads, MLP intermediate, expert
+    intermediate (TP-in-expert — every device computes every expert's
+    [*, Im/tp] slice; one psum per layer, no all-to-all), vocab dim of the
+    LM head. Expert-parallel all-to-all dispatch is a later optimization and
+    will reuse this axis.
+
+Sharding rule table keyed by parameter leaf name; stacked layer arrays have a
+leading L axis which is never sharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    dev = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(dev, axis_names=("dp", "tp"))
+
+
+# leaf name → PartitionSpec *for the trailing dims* (leading stacked-layer /
+# expert dims are added automatically based on rank difference).
+_RULES = {
+    # embeddings / head
+    "embed": P(None, None),
+    "final_norm": P(None),
+    "lm_head": P(None, "tp"),  # vocab-sharded logits, all-gathered at sample
+    # attention (trailing dims of stacked arrays)
+    "wq": P(None, "tp"),
+    "wk": P(None, "tp"),
+    "wv": P(None, "tp"),
+    "wo": P("tp", None),
+    "bq": P("tp"),
+    "bk": P("tp"),
+    "bv": P("tp"),
+    "q_norm": P(None),
+    "k_norm": P(None),
+    "input_norm": P(None),
+    "post_norm": P(None),
+    # dense MLP
+    "gate": P(None, "tp"),
+    "up": P(None, "tp"),
+    "down": P("tp", None),
+    # MoE
+    "router_w": P(None, None),
+    "router_bias": P(None),
+    "expert_gate": P(None, None, "tp"),  # [E, H, Im] shard Im
+    "expert_up": P(None, None, "tp"),
+    "expert_down": P(None, "tp", None),
+    "shared_gate": P(None, "tp"),
+    "shared_up": P(None, "tp"),
+    "shared_down": P("tp", None),
+}
+
+
+def _spec_for(path: tuple, leaf) -> P:
+    # jax tree paths: DictKey entries
+    name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    rule = _RULES.get(name)
+    if rule is None:
+        return P()
+    ndim = np.ndim(leaf) if not hasattr(leaf, "ndim") else leaf.ndim
+    pad = ndim - len(rule)
+    assert pad >= 0, (name, ndim, rule)
+    # leading stacked dims (layer stack, expert stack) stay unsharded
+    return P(*([None] * pad), *rule)
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree matching a model's parameter tree."""
+    return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def cache_specs(caches) -> dict:
+    """KV caches: [L, num_blocks, block_size, H_kv, D] → heads on tp."""
+
+    def spec(path, leaf):
+        assert leaf.ndim == 5
+        return P(None, None, None, "tp", None)
+
+    return jax.tree_util.tree_map_with_path(spec, caches)
+
+
+def batch_specs(batch) -> "P":
+    """BatchInfo arrays: leading batch dim sharded over dp."""
+    from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
+
+    return BatchInfo(
+        token_ids=P("dp", None),
+        positions=P("dp", None),
+        slot_mapping=P(None),  # flat [B*S]; replicated (scatter target is replicated on dp)
+        block_tables=P("dp", None),
+        context_lens=P("dp"),
+        last_q_idx=P("dp"),
+        temperatures=P("dp"),
+    )
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def validate_model_for_mesh(cfg, tp: int):
+    """Divisibility requirements for communication-free TP."""
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert cfg.num_kv_heads % tp == 0, (
+        f"kv heads {cfg.num_kv_heads} not divisible by tp={tp}; "
+        "kv-head replication not yet implemented"
+    )
+    assert cfg.intermediate_size % tp == 0
+    if cfg.is_moe:
+        assert cfg.moe_intermediate_size % tp == 0
