@@ -1,0 +1,113 @@
+"""Offline throughput benchmark (driver contract: one JSON line to stdout).
+
+Workload mirrors the reference bench (`/root/reference/bench.py:8-28`):
+a batch of sequences with random prompt/output lengths, temperature-sampled
+continuous batching decode. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against the first recorded run of
+this bench (stored in bench_baseline.json, created on first run).
+
+Runs on whatever the default JAX backend is (the real TPU chip under the
+driver). Model: random-weight GLM-4-MoE-shaped config sized for one chip —
+real checkpoints are not available in this environment (zero egress).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from glm4_moe_nano_vllm_tpu import LLM, SamplingParams
+    from glm4_moe_nano_vllm_tpu.config import ModelConfig
+
+    mc = ModelConfig(
+        architecture="glm4_moe",
+        vocab_size=32768,
+        hidden_size=1024,
+        num_layers=12,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=2048,
+        max_position_embeddings=8192,
+        partial_rotary_factor=0.5,
+        use_qk_norm=True,
+        attention_bias=True,
+        tie_word_embeddings=True,
+        eos_token_id=2,
+        n_routed_experts=32,
+        num_experts_per_tok=4,
+        moe_intermediate_size=512,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        routed_scaling_factor=1.5,
+    )
+
+    num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 64))
+    max_in, max_out = 128, 128
+
+    llm = LLM(
+        model="",
+        model_config=mc,
+        max_num_seqs=num_seqs,
+        max_num_batched_tokens=16384,
+        max_model_len=512,
+        kvcache_block_size=64,
+        num_kvcache_blocks=num_seqs * 8,
+        prefill_chunk_size=1024,
+        enforce_eager=True,
+        decode_buckets=(num_seqs,),
+        prefill_seq_buckets=(16, num_seqs),
+        prefill_len_buckets=(128, 256),
+        dtype="bfloat16",
+        kv_cache_dtype="bfloat16",
+    )
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(4, 32000, size=rng.integers(32, max_in)).tolist()
+        for _ in range(num_seqs)
+    ]
+    sp = [
+        SamplingParams(
+            temperature=0.6,
+            max_tokens=int(rng.integers(64, max_out)),
+            ignore_eos=True,
+        )
+        for _ in range(num_seqs)
+    ]
+
+    # warmup round compiles all bucket programs
+    llm.generate(prompts[:num_seqs], [SamplingParams(temperature=0.6, max_tokens=4, ignore_eos=True)] * num_seqs, use_tqdm=False)
+
+    t0 = time.perf_counter()
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    elapsed = time.perf_counter() - t0
+    total_out = sum(len(o["token_ids"]) for o in outs)
+    tput = total_out / elapsed
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = tput
+        with open(baseline_path, "w") as f:
+            json.dump({"value": tput, "ts": time.time()}, f)
+
+    print(json.dumps({
+        "metric": "offline_generation_throughput",
+        "value": round(tput, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tput / baseline, 3),
+    }))
+    print(f"# total={total_out} tok, time={elapsed:.1f}s, backend="
+          f"{__import__('jax').default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,27 @@ class ModelRunner:
         self.caches = self.model.init_caches(
             self.num_blocks, config.kvcache_block_size, self.kv_dtype
         )
+        self._min_bucket = 1
+        self._batch_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from glm4_moe_nano_vllm_tpu.parallel.sharding import (
+                batch_specs,
+                cache_specs,
+                param_specs,
+                shard_tree,
+                validate_model_for_mesh,
+            )
+
+            validate_model_for_mesh(mc, mesh.shape["tp"])
+            self.params = shard_tree(self.params, param_specs(self.params), mesh)
+            self.caches = shard_tree(self.caches, cache_specs(self.caches), mesh)
+            self._batch_shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), batch_specs(None)
+            )
+            # batch buckets must be divisible by dp (power-of-two ladders)
+            self._min_bucket = mesh.shape["dp"]
         self.block_size = config.kvcache_block_size
         # max-blocks bucket ladder for block tables
         mb = config.max_blocks_per_seq
@@ -138,6 +159,7 @@ class ModelRunner:
         else:
             b = bucket_of(len(seqs), cfg.decode_buckets)
             s = 1
+        b = max(b, self._min_bucket)
 
         max_ctx_blocks = max(
             (seq.num_computed_tokens + q + self.block_size - 1) // self.block_size
@@ -167,7 +189,7 @@ class ModelRunner:
             last_q_idx[i] = q - 1
             temperatures[i] = seq.temperature
 
-        return BatchInfo(
+        info = BatchInfo(
             token_ids=jnp.asarray(token_ids),
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slot_mapping.reshape(-1)),
@@ -176,6 +198,9 @@ class ModelRunner:
             last_q_idx=jnp.asarray(last_q_idx),
             temperatures=jnp.asarray(temperatures),
         )
+        if self._batch_shardings is not None:
+            info = jax.device_put(info, self._batch_shardings)
+        return info
 
     # ---- execution -------------------------------------------------------
 

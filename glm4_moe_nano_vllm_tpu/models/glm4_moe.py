@@ -112,7 +112,8 @@ class Glm4MoeForCausalLM:
         kd, hd = cfg.num_kv_heads, cfg.head_dim
 
         def zeros(n):
-            return jnp.zeros((n, num_blocks, block_size, kd, hd), dt)
+            # head-major paged layout, see ops/kv_cache.py
+            return jnp.zeros((n, kd, num_blocks, block_size, hd), dt)
 
         return {
             "dense_k": zeros(self.num_dense), "dense_v": zeros(self.num_dense),

@@ -68,7 +68,8 @@ class Qwen3ForCausalLM:
 
     def init_caches(self, num_blocks: int, block_size: int, kv_dtype=None):
         cfg = self.cfg
-        shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+        # head-major paged layout, see ops/kv_cache.py
+        shape = (cfg.num_layers, cfg.num_kv_heads, num_blocks, block_size, cfg.head_dim)
         dt = kv_dtype or self.dtype
         return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 

@@ -39,7 +39,9 @@ def paged_attention(
     positions: jax.Array,  # [B, S_q]
     sm_scale: float,
 ) -> jax.Array:
-    if _use_pallas():
+    # Mosaic DMA slices need the trailing dim 128-aligned; production head
+    # dims are 128 (GLM-4.5 / Qwen3), tiny test models fall back to XLA.
+    if _use_pallas() and q.shape[-1] % 128 == 0:
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

@@ -25,7 +25,7 @@ NEG_INF = -1e30
 
 def paged_attention_ref(
     q: jax.Array,  # [B, S_q, H_q, D]
-    k_cache: jax.Array,  # [num_blocks, bs, H_kv, D]
+    k_cache: jax.Array,  # [H_kv, num_blocks, bs, D]
     v_cache: jax.Array,
     block_tables: jax.Array,  # [B, max_blocks]
     context_lens: jax.Array,  # [B] total KV length (incl. this step's tokens)
@@ -33,9 +33,9 @@ def paged_attention_ref(
     sm_scale: float,
 ) -> jax.Array:
     b, sq, hq, d = q.shape
-    k, v = gather_kv(k_cache, v_cache, block_tables)  # [B, S_kv, H_kv, D]
-    skv = k.shape[1]
-    hkv = k.shape[2]
+    k, v = gather_kv(k_cache, v_cache, block_tables)  # [H_kv, B, S_kv, D]
+    hkv = k.shape[0]
+    skv = k.shape[2]
     assert hq % hkv == 0
     g = hq // hkv
 
@@ -45,12 +45,12 @@ def paged_attention_ref(
     vf = v.astype(jnp.float32)
 
     # scores: [B, H_kv, G, S_q, S_kv]
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf)
+    scores = jnp.einsum("bqhgd,hbkd->bhgqk", qf, kf)
     kv_pos = jnp.arange(skv, dtype=jnp.int32)[None, :]  # [1, S_kv]
     causal = kv_pos[None, :, :] <= positions[:, :, None]  # [B, S_q, S_kv]
     valid = kv_pos < context_lens[:, None]  # [B, S_kv]
     mask = causal & valid[:, None, :]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    out = jnp.einsum("bhgqk,hbkd->bqhgd", probs, vf)
     return out.reshape(b, sq, hq, d).astype(q.dtype)

@@ -1,0 +1,271 @@
+"""Pallas TPU paged-attention decode kernel.
+
+TPU-native replacement for the reference's ``flash_attn_with_kvcache`` CUDA
+call (`/root/reference/nanovllm/layers/attention.py:105-107`): one query token
+per sequence attends over its paged KV context addressed by a block table.
+
+Design (per SURVEY §7 "hard parts" #2). Decode is HBM-bandwidth bound, so the
+whole kernel is organized around keeping page DMAs in flight **across** grid
+steps, not just within one sequence:
+
+  * grid = (batch, kv_head, kv_chunk): the flash loop over KV chunks is a
+    grid dimension; the running softmax state (m, l, unnormalized acc) lives
+    in VMEM scratch, re-initialized when chunk == 0, and the normalized
+    output is written at each sequence's last chunk;
+  * every step prefetches the *next schedulable* (seq, head, chunk)'s pages
+    into the alternate buffer — including across sequence/head boundaries
+    and skipping finished or empty sequences — so the DMA engine never
+    drains between grid steps (the lookahead-skip structure follows the
+    public JAX paged-attention kernel's pipelining scheme);
+  * block tables + context lengths are scalar-prefetched into SMEM;
+    buffer-index and first-step flags are tiny mutable SMEM inputs;
+  * KV pages are contiguous [bs, D] slabs per (head, page) thanks to the
+    head-major cache layout [Hkv, NB, bs, D] (ops/kv_cache.py); ``bpc``
+    pages are fetched per chunk (~512 tokens) to amortize DMA latency;
+  * padded sequences (context_len == 0) produce zeroed output rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+class _ChunkCopy:
+    """Async copy of ``bpc`` KV pages (one head) into a VMEM chunk buffer."""
+
+    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc, head):
+        self.copies = []
+        for j in range(bpc):
+            page = pi_ref[page_offset + j]
+            self.copies.append(
+                pltpu.make_async_copy(hbm_ref.at[head, page], buf.at[j], sem)
+            )
+
+    def start(self):
+        for c in self.copies:
+            c.start()
+
+    def wait(self):
+        for c in self.copies:
+            c.wait()
+
+
+def _decode_kernel(
+    # scalar prefetch (SMEM)
+    len_ref,  # [B] int32 context lengths
+    pi_ref,  # [B * MAXB] int32 flattened block tables
+    buf_ref,  # [1] int32 current buffer slot (mutable)
+    init_ref,  # [1] int32 first-executed-step flag (mutable)
+    # inputs
+    q_ref,  # [1, 1, G, D] VMEM
+    k_hbm,  # [Hkv, NB, bs, D] ANY
+    v_hbm,
+    # output
+    o_ref,  # [1, 1, G, D]
+    # scratch
+    m_scr,  # [G, 1] f32
+    l_scr,  # [G, 1] f32
+    acc_scr,  # [G, D] f32
+    k_buf,  # [2, bpc, bs, D]
+    v_buf,
+    sems,  # [2, 2] DMA semaphores
+    *,
+    block_size: int,
+    sm_scale: float,
+    bpc: int,
+    maxb: int,
+    batch: int,
+    n_kv_heads: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    chunk = block_size * bpc
+    length = len_ref[b]
+
+    def copies_for(b_, h_, i_, slot):
+        off = b_ * maxb + i_ * bpc
+        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off, bpc, h_)
+        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off, bpc, h_)
+        return ck, cv
+
+    def next_indices(b_, h_, i_):
+        """First schedulable (b, h, i) at or after the given one (scan i→h→b,
+        skipping sequences with no chunks left and empty sequences)."""
+
+        def adv_b():
+            nb = jax.lax.while_loop(
+                lambda x: jnp.logical_and(
+                    x < batch, len_ref[jax.lax.clamp(0, x, batch - 1)] == 0
+                ),
+                lambda x: x + 1,
+                b_ + 1,
+            )
+            return nb, 0, 0
+
+        def adv_h():
+            nh = h_ + 1
+            return jax.lax.cond(
+                nh < n_kv_heads, lambda: (b_, nh, 0), adv_b
+            )
+
+        return jax.lax.cond(
+            i_ * chunk < len_ref[jax.lax.clamp(0, b_, batch - 1)],
+            lambda: (b_, h_, i_),
+            adv_h,
+        )
+
+    @pl.when(i == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        o_ref[...] = jnp.zeros_like(o_ref)  # padded seqs stay zero
+
+    @pl.when(i * chunk < length)
+    def _():
+        buf = buf_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            ck, cv = copies_for(b, h, i, buf)
+            ck.start()
+            cv.start()
+
+        init_ref[0] = 0
+
+        nb, nh, ni = next_indices(b, h, i + 1)
+
+        @pl.when(nb < batch)
+        def _():
+            nbuf = 1 - buf
+            ck, cv = copies_for(nb, nh, ni, nbuf)
+            ck.start()
+            cv.start()
+
+        # flip only when a prefetch was actually issued
+        buf_ref[0] = jnp.where(nb < batch, 1 - buf, buf)
+
+        ck, cv = copies_for(b, h, i, buf)
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [G, D]
+        ck.wait()
+        k = k_buf[buf].reshape(chunk, -1).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, chunk]
+        pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, NEG_INF)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        cv.wait()
+        v = v_buf[buf].reshape(chunk, -1).astype(jnp.float32)
+        acc_new = acc_scr[...] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scr[...], l_scr[...], acc_scr[...] = m_new, l_new, acc_new
+
+        @pl.when((i + 1) * chunk >= length)
+        def _():
+            o_ref[0, 0] = (
+                acc_new / jnp.maximum(l_new, 1e-30)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_attention_decode(
+    q: jax.Array,  # [B, Hq, D]
+    k_cache: jax.Array,  # [Hkv, NB, bs, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # [B, MAXB] int32
+    context_lens: jax.Array,  # [B] int32
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    b, hq, d = q.shape
+    hkv, nb, bs, _ = k_cache.shape
+    assert hq % hkv == 0
+    g = hq // hkv
+    maxb = block_tables.shape[1]
+    # pages per compute chunk: target ~512-token chunks, capped by the table
+    bpc = max(1, min(maxb, 512 // bs))
+    cmax = pl.cdiv(maxb, bpc)
+
+    q4 = q.reshape(b, hkv, g, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, cmax),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda i, j, c, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, c, *_: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((2, bpc, bs, d), k_cache.dtype),
+            pltpu.VMEM((2, bpc, bs, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            block_size=bs,
+            sm_scale=sm_scale,
+            bpc=bpc,
+            maxb=maxb,
+            batch=b,
+            n_kv_heads=hkv,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        context_lens,
+        block_tables.reshape(-1),
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.int32),
+        q4,
+        k_cache,
+        v_cache,
+    )
+    return out.reshape(b, hq, d)
+
+
+def paged_attention_pallas(
+    q: jax.Array,  # [B, S_q, Hq, D]
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    block_tables: jax.Array,
+    context_lens: jax.Array,
+    positions: jax.Array,
+    sm_scale: float,
+) -> jax.Array:
+    """Dispatch wrapper matching the unified paged-attention signature."""
+    b, sq, hq, d = q.shape
+    if sq == 1:
+        out = paged_attention_decode(
+            q[:, 0], k_cache, v_cache, block_tables, context_lens, sm_scale
+        )
+        return out[:, None]
+    from glm4_moe_nano_vllm_tpu.ops.prefill_pallas import paged_prefill_pallas
+
+    return paged_prefill_pallas(
+        q, k_cache, v_cache, block_tables, context_lens, positions, sm_scale
+    )

@@ -89,11 +89,11 @@ def param_specs(params) -> dict:
 
 
 def cache_specs(caches) -> dict:
-    """KV caches: [L, num_blocks, block_size, H_kv, D] → heads on tp."""
+    """KV caches: [L, H_kv, num_blocks, block_size, D] → heads on tp."""
 
     def spec(path, leaf):
         assert leaf.ndim == 5
-        return P(None, None, None, "tp", None)
+        return P(None, "tp", None, None, None)
 
     return jax.tree_util.tree_map_with_path(spec, caches)
 

@@ -83,9 +83,17 @@ class _TreeFiller:
         self.filled.add((path, layer, sub))
 
     def finalize(self, mesh=None, shardings=None):
-        if mesh is not None and shardings is not None:
+        if mesh is not None and shardings is None:
+            from jax.sharding import NamedSharding
+
+            from glm4_moe_nano_vllm_tpu.parallel.sharding import param_specs
+
+            shardings = jax.tree_util.tree_map(
+                lambda b, s: NamedSharding(mesh, s), self.bufs, param_specs(self.bufs)
+            )
+        if shardings is not None:
             return jax.tree.map(
-                lambda b, s: jax.device_put(jnp.asarray(b), s), self.bufs, shardings
+                lambda b, s: jax.device_put(b, s), self.bufs, shardings
             )
         return jax.tree.map(jnp.asarray, self.bufs)
 

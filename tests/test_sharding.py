@@ -1,0 +1,100 @@
+"""Tensor-parallel sharding correctness on a virtual 8-device CPU mesh.
+
+Validates what the reference never tests (its TP is broken in the fork,
+SURVEY §2.3): sharded execution produces the same logits as single-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig
+from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+from glm4_moe_nano_vllm_tpu.parallel.sharding import (
+    batch_specs,
+    cache_specs,
+    make_mesh,
+    param_specs,
+    shard_tree,
+    validate_model_for_mesh,
+)
+from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+TINY_MOE = ModelConfig(
+    architecture="glm4_moe",
+    vocab_size=128,
+    hidden_size=64,
+    num_layers=3,
+    num_heads=8,
+    num_kv_heads=4,
+    head_dim=16,
+    intermediate_size=128,
+    max_position_embeddings=2048,
+    partial_rotary_factor=0.5,
+    use_qk_norm=True,
+    attention_bias=True,
+    tie_word_embeddings=True,
+    eos_token_id=0,
+    n_routed_experts=8,
+    num_experts_per_tok=2,
+    moe_intermediate_size=32,
+    n_shared_experts=1,
+    first_k_dense_replace=1,
+    routed_scaling_factor=1.5,
+)
+
+
+def make_runner(mc, mesh=None):
+    cfg = Config(
+        model="", model_config=mc, max_num_seqs=4, max_model_len=128,
+        kvcache_block_size=16, num_kvcache_blocks=64, prefill_chunk_size=64,
+        enforce_eager=True, dtype="float32", kv_cache_dtype="float32",
+        decode_buckets=(1, 2, 4), prefill_seq_buckets=(1, 2, 4),
+        prefill_len_buckets=(16, 32, 64),
+    )
+    return ModelRunner(cfg, mesh=mesh), Scheduler(cfg)
+
+
+def greedy_tokens(runner, sched, prompts, n=6):
+    seqs = [
+        Sequence(list(p), SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True))
+        for p in prompts
+    ]
+    for s in seqs:
+        sched.add(s)
+    while not sched.is_finished():
+        batch = sched.schedule()
+        sched.postprocess(batch, runner.run(batch))
+    return [s.completion_token_ids for s in seqs]
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (4, 2)])
+def test_tp_matches_single_device(dp, tp):
+    assert len(jax.devices()) >= dp * tp, "conftest must provide 8 cpu devices"
+    validate_model_for_mesh(TINY_MOE, tp)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    r1, s1 = make_runner(TINY_MOE)
+    base = greedy_tokens(r1, s1, prompts)
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    r2, s2 = make_runner(TINY_MOE, mesh=mesh)
+    # same random weights: re-init with same seed happens inside ModelRunner
+    sharded = greedy_tokens(r2, s2, prompts)
+    assert base == sharded
+
+
+def test_param_specs_cover_tree():
+    from glm4_moe_nano_vllm_tpu.models.registry import build_model
+
+    model = build_model(TINY_MOE, jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    specs = param_specs(params)
+    flat_p = jax.tree.leaves(params)
+    flat_s = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    assert len(flat_p) == len(flat_s)
+    for p, s in zip(flat_p, flat_s):
+        assert len(s) <= p.ndim
