@@ -31,8 +31,14 @@ from glm4_moe_nano_vllm_tpu.ops.kv_cache import write_kv
 Params = dict[str, Any]
 
 
-def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    out = jnp.dot(x, w, preferred_element_type=x.dtype)
+def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """Dense or weight-only-quantized linear (w is an array or a quant dict)."""
+    if isinstance(w, dict):
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_matmul
+
+        out = quant_matmul(x, w)
+    else:
+        out = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         out = out + b
     return out
@@ -103,3 +109,29 @@ def compute_logits(
 
 def init_linear(key, shape, dtype, scale=0.02):
     return (scale * jax.random.normal(key, shape, dtype=jnp.float32)).astype(dtype)
+
+
+def init_weight(key, shape, dtype, quant=None):
+    """Dense weight or (for quantized configs) a random quant dict with the
+    same logical [..., K, M] shape — used for warmup/bench without a
+    checkpoint."""
+    if quant is None:
+        return init_linear(key, shape, dtype)
+    k, m = shape[-2], shape[-1]
+    g = quant.group_size
+    assert k % g == 0, (shape, g)
+    kg = shape[:-2] + (k // g, m)
+    ks = jax.random.split(key, 2)
+    if quant.method == "awq":
+        packed = shape[:-2] + (k // 2, m)
+        return {
+            # row-packed uint8: two uint4 weights per byte (ops/quant.py)
+            "qw": jax.random.randint(ks[0], packed, 0, 256, jnp.int32).astype(jnp.uint8),
+            "zp": jnp.full(kg, 8, jnp.uint8),
+            "scale": jnp.abs(init_linear(ks[1], kg, jnp.float32, 0.005)) + 1e-4,
+        }
+    assert quant.method == "int8"
+    return {
+        "qw": jax.random.randint(ks[0], shape, -127, 128, jnp.int32).astype(jnp.int8),
+        "scale": jnp.abs(init_linear(ks[1], kg, jnp.float32, 0.0003)) + 1e-5,
+    }

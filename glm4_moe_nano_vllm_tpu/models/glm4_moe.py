@@ -25,6 +25,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     compute_logits,
     embed,
     init_linear,
+    init_weight,
     mlp_block,
 )
 from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, route_topk
@@ -48,13 +49,14 @@ class Glm4MoeForCausalLM:
         H = cfg.hidden_size
         nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         ks = jax.random.split(key, 4)
+        qc = cfg.quant
         p = {
             "input_norm": jnp.ones((n_layers, H), dt),
             "post_norm": jnp.ones((n_layers, H), dt),
-            "wq": init_linear(ks[0], (n_layers, H, nq * d), dt),
-            "wk": init_linear(ks[1], (n_layers, H, nkv * d), dt),
-            "wv": init_linear(ks[2], (n_layers, H, nkv * d), dt),
-            "wo": init_linear(ks[3], (n_layers, nq * d, H), dt),
+            "wq": init_weight(ks[0], (n_layers, H, nq * d), dt, qc),
+            "wk": init_weight(ks[1], (n_layers, H, nkv * d), dt, qc),
+            "wv": init_weight(ks[2], (n_layers, H, nkv * d), dt, qc),
+            "wo": init_weight(ks[3], (n_layers, nq * d, H), dt, qc),
         }
         if cfg.use_qk_norm:
             p["q_norm"] = jnp.ones((n_layers, d), dt)
@@ -73,25 +75,26 @@ class Glm4MoeForCausalLM:
         Ld, Lm = self.num_dense, self.num_moe
         ks = jax.random.split(key, 12)
 
+        qc = cfg.quant
         dense_layers = {}
         if Ld > 0:
             dense_layers = self._attn_params(ks[0], Ld)
             dense_layers.update({
-                "gate": init_linear(ks[1], (Ld, H, I), dt),
-                "up": init_linear(ks[2], (Ld, H, I), dt),
-                "down": init_linear(ks[3], (Ld, I, H), dt),
+                "gate": init_weight(ks[1], (Ld, H, I), dt, qc),
+                "up": init_weight(ks[2], (Ld, H, I), dt, qc),
+                "down": init_weight(ks[3], (Ld, I, H), dt, qc),
             })
 
         moe_layers = self._attn_params(ks[4], Lm)
         moe_layers.update({
             "router_w": init_linear(ks[5], (Lm, E, H), jnp.float32),
             "router_bias": jnp.zeros((Lm, E), jnp.float32),
-            "expert_gate": init_linear(ks[6], (Lm, E, H, Im), dt),
-            "expert_up": init_linear(ks[7], (Lm, E, H, Im), dt),
-            "expert_down": init_linear(ks[8], (Lm, E, Im, H), dt),
-            "shared_gate": init_linear(ks[9], (Lm, H, Is), dt),
-            "shared_up": init_linear(ks[10], (Lm, H, Is), dt),
-            "shared_down": init_linear(ks[11], (Lm, Is, H), dt),
+            "expert_gate": init_weight(ks[6], (Lm, E, H, Im), dt, qc),
+            "expert_up": init_weight(ks[7], (Lm, E, H, Im), dt, qc),
+            "expert_down": init_weight(ks[8], (Lm, E, Im, H), dt, qc),
+            "shared_gate": init_weight(ks[9], (Lm, H, Is), dt, qc),
+            "shared_up": init_weight(ks[10], (Lm, H, Is), dt, qc),
+            "shared_down": init_weight(ks[11], (Lm, Is, H), dt, qc),
         })
 
         params = {
@@ -122,7 +125,7 @@ class Glm4MoeForCausalLM:
 
     # ---- forward ---------------------------------------------------------
 
-    def forward(self, params, caches, batch: BatchInfo):
+    def forward(self, params, caches, batch: BatchInfo, return_hidden: bool = False):
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
@@ -172,6 +175,8 @@ class Glm4MoeForCausalLM:
         )
         new_caches["moe_k"], new_caches["moe_v"] = km, vm
 
+        if return_hidden:
+            return x, new_caches
         lm_head = params.get("lm_head")
         if lm_head is None:
             lm_head = params["embed"].T

@@ -20,6 +20,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     compute_logits,
     embed,
     init_linear,
+    init_weight,
     mlp_block,
 )
 
@@ -37,16 +38,17 @@ class Qwen3ForCausalLM:
         L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
         nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         ks = jax.random.split(key, 8)
+        qc = cfg.quant
         layers = {
             "input_norm": jnp.ones((L, H), dt),
             "post_norm": jnp.ones((L, H), dt),
-            "wq": init_linear(ks[0], (L, H, nq * d), dt),
-            "wk": init_linear(ks[1], (L, H, nkv * d), dt),
-            "wv": init_linear(ks[2], (L, H, nkv * d), dt),
-            "wo": init_linear(ks[3], (L, nq * d, H), dt),
-            "gate": init_linear(ks[4], (L, H, I), dt),
-            "up": init_linear(ks[5], (L, H, I), dt),
-            "down": init_linear(ks[6], (L, I, H), dt),
+            "wq": init_weight(ks[0], (L, H, nq * d), dt, qc),
+            "wk": init_weight(ks[1], (L, H, nkv * d), dt, qc),
+            "wv": init_weight(ks[2], (L, H, nkv * d), dt, qc),
+            "wo": init_weight(ks[3], (L, nq * d, H), dt, qc),
+            "gate": init_weight(ks[4], (L, H, I), dt, qc),
+            "up": init_weight(ks[5], (L, H, I), dt, qc),
+            "down": init_weight(ks[6], (L, I, H), dt, qc),
         }
         if cfg.use_qk_norm:
             layers["q_norm"] = jnp.ones((L, d), dt)
@@ -75,7 +77,7 @@ class Qwen3ForCausalLM:
 
     # ---- forward ---------------------------------------------------------
 
-    def forward(self, params, caches, batch: BatchInfo):
+    def forward(self, params, caches, batch: BatchInfo, return_hidden: bool = False):
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
@@ -93,6 +95,8 @@ class Qwen3ForCausalLM:
         x, (k_new, v_new) = jax.lax.scan(
             body, x, (params["layers"], caches["k"], caches["v"])
         )
+        if return_hidden:
+            return x, {"k": k_new, "v": v_new}
         lm_head = params.get("lm_head")
         if lm_head is None:
             lm_head = params["embed"].T

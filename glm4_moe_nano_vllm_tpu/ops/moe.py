@@ -47,26 +47,34 @@ def route_topk(
     return topk_idx.astype(jnp.int32), topk_w
 
 
+def _grouped_matmul(xs, w, group_sizes):
+    if isinstance(w, dict):
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot
+
+        return quant_ragged_dot(xs, w, group_sizes)
+    return jax.lax.ragged_dot(xs, w, group_sizes)
+
+
 def moe_experts(
     x: jax.Array,  # [T, H]
     topk_idx: jax.Array,  # [T, K]
     topk_w: jax.Array,  # [T, K] fp32
-    w_gate: jax.Array,  # [E, H, I]
-    w_up: jax.Array,  # [E, H, I]
-    w_down: jax.Array,  # [E, I, H]
+    w_gate,  # [E, H, I] array or quant dict
+    w_up,
+    w_down,  # [E, I, H]
 ) -> jax.Array:
     t, k = topk_idx.shape
-    e = w_gate.shape[0]
+    e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
     flat_e = topk_idx.reshape(-1)  # [T*K]
     sort_i = jnp.argsort(flat_e)  # stable
     tok_i = sort_i // k  # source token of each sorted assignment
     xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
 
-    g = jax.lax.ragged_dot(xs, w_gate, group_sizes)
-    u = jax.lax.ragged_dot(xs, w_up, group_sizes)
+    g = _grouped_matmul(xs, w_gate, group_sizes)
+    u = _grouped_matmul(xs, w_up, group_sizes)
     h = silu_and_mul(g, u).astype(x.dtype)
-    o = jax.lax.ragged_dot(h, w_down, group_sizes)  # [T*K, H]
+    o = _grouped_matmul(h, w_down, group_sizes)  # [T*K, H]
 
     w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
     o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)

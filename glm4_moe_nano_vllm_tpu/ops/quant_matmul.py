@@ -1,0 +1,60 @@
+"""Quantized weight-only matmuls (XLA path; Pallas fused kernel in
+ops/quant_matmul_pallas.py takes over on TPU for the hot shapes).
+
+Replaces the reference's dequant-then-``F.linear`` flow
+(`/root/reference/nanovllm/layers/linear_awq_new.py:254-255` — its biggest
+inefficiency: the fp16 weight matrix is materialized in HBM on every call).
+Under XLA the dequant arithmetic below is fused into the matmul's operand
+read (weights stay int4/int8 in HBM; conversion happens in VMEM tiles).
+
+Storage format (see ops/quant.py):
+  * AWQ int4: qw uint4 [K, M], zp uint4 [K/G, M], scale f32/bf16 [K/G, M],
+    w = (qw - zp) * scale
+  * int8: qw int8 [K, M], scale [K/G, M], w = qw * scale
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unpack_rows(qw_packed: jax.Array) -> jax.Array:
+    """[..., K/2, M] uint8 (two nibbles/byte along K) → [..., K, M] uint8."""
+    lo = qw_packed & 0x0F
+    hi = qw_packed >> 4
+    u = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, M]
+    return u.reshape(*qw_packed.shape[:-2], qw_packed.shape[-2] * 2,
+                     qw_packed.shape[-1])
+
+
+def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the full-precision weight [..., K, M] from a quant dict."""
+    qw = qp["qw"]
+    scale = qp["scale"]
+    if "zp" in qp:  # AWQ int4: row-packed uint8
+        qw = unpack_rows(qw)
+    kg = scale.shape[-2]
+    k, m = qw.shape[-2], qw.shape[-1]
+    group = k // kg
+    q = qw.astype(jnp.float32).reshape(*qw.shape[:-2], kg, group, m)
+    if "zp" in qp:
+        q = q - qp["zp"].astype(jnp.float32)[..., :, None, :]
+    w = q * scale.astype(jnp.float32)[..., :, None, :]
+    return w.reshape(*qw.shape[:-2], k, m).astype(dtype)
+
+
+def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
+    """y = x @ dequant(qp); dequant fuses into the matmul under XLA."""
+    w = dequantize(qp, x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:
+    """Grouped expert matmul with quantized per-expert weights [E, K, M].
+
+    XLA interim: dequantize the expert stack then ragged_dot (the Pallas
+    int4 GMM kernel replaces this on TPU).
+    """
+    w = dequantize(qp, xs.dtype)
+    return jax.lax.ragged_dot(xs, w, group_sizes)

@@ -73,6 +73,16 @@ _RULES = {
 def _spec_for(path: tuple, leaf) -> P:
     # jax tree paths: DictKey entries
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    if name in ("qw", "zp", "scale") and len(path) >= 2:
+        # quantized-weight leaf: qw [K, M] follows the parent weight's
+        # partitioning; zp/scale [K/G, M] follow it for column-parallel
+        # weights but are replicated for row-parallel ones (K/G is rarely
+        # divisible by tp, and they are tiny)
+        parent = path[-2].key if hasattr(path[-2], "key") else str(path[-2])
+        rule = _RULES.get(parent, P())
+        if name != "qw" and len(rule) >= 2 and rule[-2] is not None:
+            return P()
+        name = parent
     rule = _RULES.get(name)
     if rule is None:
         return P()
