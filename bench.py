@@ -46,6 +46,12 @@ def main():
         routed_scaling_factor=1.5,
     )
 
+    quant = os.environ.get("BENCH_QUANT")  # "awq" | "int8" | unset
+    if quant:
+        from glm4_moe_nano_vllm_tpu.config import QuantConfig
+
+        mc.quant = QuantConfig(method=quant, bits=4 if quant == "awq" else 8,
+                               group_size=128)
     num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 64))
     max_in, max_out = 128, 128
 

@@ -20,6 +20,7 @@ import logging
 import time
 
 from glm4_moe_nano_vllm_tpu.config import Config
+from glm4_moe_nano_vllm_tpu.engine.metrics import EngineMetrics
 from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
 from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
 from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
@@ -48,6 +49,8 @@ class LLMEngine:
         self.config = config
         self.model_runner = ModelRunner(config)
         self.scheduler = Scheduler(config)
+        self.metrics = EngineMetrics()
+        self.scheduler.metrics = self.metrics
         if not config.enforce_eager:
             self.model_runner.warmup()
         atexit.register(self.exit)
@@ -71,6 +74,7 @@ class LLMEngine:
         seq = Sequence(prompt, sampling_params,
                        block_size=self.config.kvcache_block_size)
         self.scheduler.add(seq)
+        self.metrics.on_request(seq.seq_id)
         return seq
 
     # ---- stepping --------------------------------------------------------
@@ -82,14 +86,19 @@ class LLMEngine:
         sequences' ``(seq_id, completion_token_ids)`` and num_tokens follows
         the reference sign convention (prefill positive / decode negative).
         """
+        t0 = time.perf_counter()
         batch = self.scheduler.schedule()
         token_ids = self.model_runner.run(batch)
         self.scheduler.postprocess(batch, token_ids)
-        outputs = [
-            (seq.seq_id, seq.completion_token_ids)
-            for seq in batch.seqs
-            if seq.is_finished
-        ]
+        self.metrics.on_step(batch.is_prefill, batch.num_tokens,
+                             time.perf_counter() - t0)
+        outputs = []
+        for seq in batch.seqs:
+            if seq.num_completion_tokens == 1:
+                self.metrics.on_first_token(seq.seq_id)
+            if seq.is_finished:
+                self.metrics.on_finished(seq.seq_id)
+                outputs.append((seq.seq_id, seq.completion_token_ids))
         num_tokens = batch.num_tokens if batch.is_prefill else -len(batch.seqs)
         return outputs, num_tokens
 

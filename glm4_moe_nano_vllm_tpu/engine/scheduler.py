@@ -56,6 +56,7 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        self.metrics = None  # optionally set by the engine
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -124,6 +125,8 @@ class Scheduler:
         return ScheduledBatch(scheduled, is_prefill=False, q_lens=[1] * len(scheduled))
 
     def preempt(self, seq: Sequence) -> None:
+        if self.metrics is not None:
+            self.metrics.num_preemptions += 1
         if seq in self.running:
             self.running.remove(seq)
         seq.status = SequenceStatus.WAITING

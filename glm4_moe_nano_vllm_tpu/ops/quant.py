@@ -91,29 +91,44 @@ def quantize_int8(w: np.ndarray, group_size: int = 128):
     return q.reshape(k, m).astype(np.int8), scale.astype(np.float16)
 
 
-def pack_rows_u8(nibbles: np.ndarray) -> np.ndarray:
-    """[..., K, M] uint4-values → [..., K/2, M] uint8, two nibbles per byte
-    along K (row 2i in the low nibble, row 2i+1 in the high nibble).
+def pack_rows_u8(nibbles: np.ndarray, group_size: int | None = None) -> np.ndarray:
+    """[..., K, M] uint4-values → [..., K/2, M] uint8, two nibbles per byte.
+
+    Pairing is *half-split within each quantization group*: byte row i of
+    group g holds original rows (g*G + i) in the low nibble and
+    (g*G + i + G/2) in the high nibble. Unpacking is then a row-concat of
+    the two nibble planes — a cheap contiguous copy on TPU, where an
+    even/odd interleave would be a slow cross-sublane shuffle.
 
     This is the TPU-native storage: true 4-bit memory footprint in a dtype
     that crosses the jit boundary (the PJRT plugin here rejects u4 args),
     unpacked in-graph / in-kernel.
     """
-    assert nibbles.shape[-2] % 2 == 0
-    lo = nibbles[..., 0::2, :].astype(np.uint8)
-    hi = nibbles[..., 1::2, :].astype(np.uint8)
-    return (lo | (hi << 4)).astype(np.uint8)
+    k = nibbles.shape[-2]
+    g = group_size or k
+    assert k % g == 0 and g % 2 == 0
+    shp = nibbles.shape
+    grouped = nibbles.reshape(*shp[:-2], k // g, g, shp[-1])
+    lo = grouped[..., : g // 2, :].astype(np.uint8)
+    hi = grouped[..., g // 2:, :].astype(np.uint8)
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return packed.reshape(*shp[:-2], k // 2, shp[-1])
 
 
-def unpack_rows_u8_np(packed: np.ndarray) -> np.ndarray:
-    lo = packed & 0x0F
-    hi = packed >> 4
-    out = np.stack([lo, hi], axis=-2)  # [..., K/2, 2, M]
-    return out.reshape(*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+def unpack_rows_u8_np(packed: np.ndarray, group_size: int | None = None) -> np.ndarray:
+    k2 = packed.shape[-2]
+    g = group_size or 2 * k2
+    shp = packed.shape
+    p = packed.reshape(*shp[:-2], 2 * k2 // g, g // 2, shp[-1])
+    lo = p & 0x0F
+    hi = p >> 4
+    out = np.concatenate([lo, hi], axis=-2)  # [..., KG, G, M]
+    return out.reshape(*shp[:-2], k2 * 2, shp[-1])
 
 
 def repack_awq_for_tpu(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray):
     """AWQ checkpoint tensors → TPU-native (qw u8 row-packed, zp u8, scale f32)."""
-    qw = pack_rows_u8(awq_unpack_cols(qweight))  # [K/2, M] uint8
+    group_size = qweight.shape[0] // scales.shape[0]
+    qw = pack_rows_u8(awq_unpack_cols(qweight), group_size)  # [K/2, M] uint8
     zp = awq_unpack_cols(qzeros)  # [K/G, M] uint8 (small; kept unpacked)
     return qw, zp, scales.astype(np.float32)

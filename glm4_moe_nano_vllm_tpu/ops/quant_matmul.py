@@ -19,13 +19,16 @@ import jax
 import jax.numpy as jnp
 
 
-def unpack_rows(qw_packed: jax.Array) -> jax.Array:
-    """[..., K/2, M] uint8 (two nibbles/byte along K) → [..., K, M] uint8."""
-    lo = qw_packed & 0x0F
-    hi = qw_packed >> 4
-    u = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, M]
-    return u.reshape(*qw_packed.shape[:-2], qw_packed.shape[-2] * 2,
-                     qw_packed.shape[-1])
+def unpack_rows(qw_packed: jax.Array, group_size: int) -> jax.Array:
+    """[..., K/2, M] uint8 (group-half-split nibble pairs, see
+    ops/quant.py pack_rows_u8) → [..., K, M] uint8."""
+    k2, m = qw_packed.shape[-2], qw_packed.shape[-1]
+    p = qw_packed.reshape(*qw_packed.shape[:-2], 2 * k2 // group_size,
+                          group_size // 2, m)
+    lo = p & 0x0F
+    hi = p >> 4
+    u = jnp.concatenate([lo, hi], axis=-2)  # [..., KG, G, M]
+    return u.reshape(*qw_packed.shape[:-2], k2 * 2, m)
 
 
 def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
@@ -33,7 +36,8 @@ def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
     qw = qp["qw"]
     scale = qp["scale"]
     if "zp" in qp:  # AWQ int4: row-packed uint8
-        qw = unpack_rows(qw)
+        group = 2 * qw.shape[-2] // scale.shape[-2]
+        qw = unpack_rows(qw, group)
     kg = scale.shape[-2]
     k, m = qw.shape[-2], qw.shape[-1]
     group = k // kg
@@ -50,11 +54,28 @@ def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
+def _use_pallas_gmm() -> bool:
+    import os
+
+    if os.environ.get("NVT_FORCE_XLA_QUANT"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:
     """Grouped expert matmul with quantized per-expert weights [E, K, M].
 
-    XLA interim: dequantize the expert stack then ragged_dot (the Pallas
-    int4 GMM kernel replaces this on TPU).
+    On TPU with AWQ int4 weights this runs the fused Pallas GMM (weights
+    stay packed in HBM); otherwise dequantize + ragged_dot (XLA fuses what
+    it can, but materializes the expert stack — fallback only).
     """
+    if "zp" in qp and _use_pallas_gmm():
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
+
+        return quant_gmm(xs, qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32),
+                         group_sizes)
     w = dequantize(qp, xs.dtype)
     return jax.lax.ragged_dot(xs, w, group_sizes)

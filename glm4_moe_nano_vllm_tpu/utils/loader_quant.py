@@ -83,7 +83,8 @@ def load_params_quant(model, path: str, mesh=None, shardings=None):
             base = name[: -len(leaf) - 1] + ".weight"
             if leaf == "qweight":
                 # [K, M/8] int32 → [K/2, M] row-packed uint8
-                value = pack_rows_u8(awq_unpack_cols(np.asarray(tensor)))
+                value = pack_rows_u8(awq_unpack_cols(np.asarray(tensor)),
+                                     cfg.quant.group_size)
             elif leaf == "qzeros":
                 value = awq_unpack_cols(np.asarray(tensor))  # [K/G, M] u8
             else:

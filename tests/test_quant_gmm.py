@@ -1,0 +1,47 @@
+"""Fused INT4 grouped-matmul kernel vs the dequantize+ragged_dot oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glm4_moe_nano_vllm_tpu.ops.quant import pack_rows_u8
+from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
+from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+
+import jax
+
+
+def make_quant_stack(rng, e, k, n, g):
+    qw_n = rng.integers(0, 16, size=(e, k, n)).astype(np.uint8)
+    zp = rng.integers(0, 16, size=(e, k // g, n)).astype(np.uint8)
+    scale = (np.abs(rng.normal(size=(e, k // g, n))) * 0.02 + 0.001).astype(np.float32)
+    qp = {
+        "qw": jnp.asarray(pack_rows_u8(qw_n, g)),
+        "zp": jnp.asarray(zp),
+        "scale": jnp.asarray(scale),
+    }
+    return qp
+
+
+@pytest.mark.parametrize(
+    "e,m,k,n,g,sizes",
+    [
+        (1, 16, 256, 128, 128, None),  # dense-equivalent
+        (4, 64, 256, 128, 64, [10, 0, 37, 17]),  # zero-size group
+        (8, 200, 128, 256, 32, None),  # random sizes
+    ],
+)
+def test_quant_gmm_matches_oracle(e, m, k, n, g, sizes):
+    rng = np.random.default_rng(0)
+    qp = make_quant_stack(rng, e, k, n, g)
+    if sizes is None:
+        cuts = np.sort(rng.integers(0, m + 1, size=e - 1)) if e > 1 else []
+        sizes = np.diff(np.concatenate([[0], cuts, [m]]))
+    gs = jnp.asarray(np.asarray(sizes, np.int32))
+    assert int(gs.sum()) == m
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+
+    ref = jax.lax.ragged_dot(x, dequantize(qp, jnp.float32), gs)
+    got = quant_gmm(x, qp["qw"], qp["zp"], qp["scale"], gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
