@@ -41,7 +41,10 @@ def paged_attention(
 ) -> jax.Array:
     # Mosaic DMA slices need the trailing dim 128-aligned; production head
     # dims are 128 (GLM-4.5 / Qwen3), tiny test models fall back to XLA.
-    if _use_pallas() and q.shape[-1] % 128 == 0:
+    # At small context capacity the XLA gather path wins (kernel DMA latency
+    # dominates); the choice is static per compiled bucket shape.
+    kv_capacity = block_tables.shape[1] * k_cache.shape[2]
+    if _use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > 512:
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

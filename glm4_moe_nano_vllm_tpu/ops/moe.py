@@ -71,8 +71,13 @@ def moe_experts(
     xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
 
-    g = _grouped_matmul(xs, w_gate, group_sizes)
-    u = _grouped_matmul(xs, w_up, group_sizes)
+    if isinstance(w_gate, dict) and isinstance(w_up, dict) and "zp" in w_gate:
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot_pair
+
+        g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes)
+    else:
+        g = _grouped_matmul(xs, w_gate, group_sizes)
+        u = _grouped_matmul(xs, w_up, group_sizes)
     h = silu_and_mul(g, u).astype(x.dtype)
     o = _grouped_matmul(h, w_down, group_sizes)  # [T*K, H]
 

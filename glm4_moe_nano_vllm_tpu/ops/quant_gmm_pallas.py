@@ -115,6 +115,143 @@ def _gmm_kernel(
         jax.lax.fori_loop(0, nchunks, chunk_body, ())
 
 
+def _gmm_pair_kernel(
+    offs_ref,
+    lhs_hbm,  # [M_pad, K]
+    qwa_hbm, zpa_hbm, sca_hbm,  # weight set A [E, K/2, N] / [E, KG, N]
+    qwb_hbm, zpb_hbm, scb_hbm,  # weight set B
+    outa_hbm, outb_hbm,  # [M_pad, N]
+    x_scr, wa_scr, za_scr, sa_scr, wb_scr, zb_scr, sb_scr,
+    oa_scr, ob_scr, sems,
+    *,
+    tm: int,
+    tn: int,
+    kt: int,
+    nk: int,
+):
+    """Two GMMs sharing lhs (MoE gate+up): one pass over activations."""
+    e = pl.program_id(0)
+    n = pl.program_id(1)
+    start = offs_ref[e]
+    cnt = offs_ref[e + 1] - start
+    nchunks = cnt // tm
+
+    @pl.when(nchunks > 0)
+    def _():
+        col = pl.multiple_of(n * tn, tn)
+        copies = [
+            pltpu.make_async_copy(qwa_hbm.at[e, :, pl.ds(col, tn)], wa_scr, sems.at[0]),
+            pltpu.make_async_copy(zpa_hbm.at[e, :, pl.ds(col, tn)], za_scr, sems.at[1]),
+            pltpu.make_async_copy(sca_hbm.at[e, :, pl.ds(col, tn)], sa_scr, sems.at[2]),
+            pltpu.make_async_copy(qwb_hbm.at[e, :, pl.ds(col, tn)], wb_scr, sems.at[3]),
+            pltpu.make_async_copy(zpb_hbm.at[e, :, pl.ds(col, tn)], zb_scr, sems.at[4]),
+            pltpu.make_async_copy(scb_hbm.at[e, :, pl.ds(col, tn)], sb_scr, sems.at[5]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        def chunk_body(r, _):
+            row = pl.multiple_of(start + r * tm, tm)
+            xcp = pltpu.make_async_copy(
+                lhs_hbm.at[pl.ds(row, tm), :], x_scr, sems.at[6]
+            )
+            xcp.start()
+            xcp.wait()
+
+            acc_a = jnp.zeros((tm, tn), jnp.float32)
+            acc_b = jnp.zeros((tm, tn), jnp.float32)
+            for ki in range(nk):
+                x = x_scr[:, ki * kt:(ki + 1) * kt]
+                for w_scr_, zp_scr_, sc_scr_, which in (
+                    (wa_scr, za_scr, sa_scr, 0),
+                    (wb_scr, zb_scr, sb_scr, 1),
+                ):
+                    q32 = w_scr_[ki * (kt // 2):(ki + 1) * (kt // 2)].astype(jnp.int32)
+                    lo = q32 & 0x0F
+                    hi = (q32 >> 4) & 0x0F
+                    qun = jnp.concatenate([lo, hi], axis=0)
+                    zp = zp_scr_[ki: ki + 1].astype(jnp.int32)
+                    scale = sc_scr_[ki: ki + 1]
+                    w = ((qun - zp).astype(jnp.float32) * scale).astype(x.dtype)
+                    d = jnp.dot(x, w, preferred_element_type=jnp.float32)
+                    if which == 0:
+                        acc_a = acc_a + d
+                    else:
+                        acc_b = acc_b + d
+
+            oa_scr[...] = acc_a.astype(oa_scr.dtype)
+            ob_scr[...] = acc_b.astype(ob_scr.dtype)
+            ca = pltpu.make_async_copy(
+                oa_scr, outa_hbm.at[pl.ds(row, tm), pl.ds(n * tn, tn)], sems.at[7]
+            )
+            cb = pltpu.make_async_copy(
+                ob_scr, outb_hbm.at[pl.ds(row, tm), pl.ds(n * tn, tn)], sems.at[8]
+            )
+            ca.start()
+            cb.start()
+            ca.wait()
+            cb.wait()
+            return ()
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
+def quant_gmm_pair_padded(
+    lhs_padded, offs, qwa, zpa, sca, qwb, zpb, scb, tm: int, interpret=False
+):
+    m_pad, k = lhs_padded.shape
+    e, k2, n = qwa.shape
+    assert qwb.shape == qwa.shape
+    kg = zpa.shape[1]
+    kt = k // kg
+    tn = n if n <= 512 or n % 512 != 0 else 512
+    assert n % tn == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, n // tn),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((tm, k), lhs_padded.dtype),
+            pltpu.VMEM((k2, tn), jnp.uint8),
+            pltpu.VMEM((kg, tn), jnp.uint8),
+            pltpu.VMEM((kg, tn), jnp.float32),
+            pltpu.VMEM((k2, tn), jnp.uint8),
+            pltpu.VMEM((kg, tn), jnp.uint8),
+            pltpu.VMEM((kg, tn), jnp.float32),
+            pltpu.VMEM((tm, tn), lhs_padded.dtype),
+            pltpu.VMEM((tm, tn), lhs_padded.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm_pair_kernel, tm=tm, tn=tn, kt=kt, nk=k // kt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(offs, lhs_padded, qwa, zpa, sca, qwb, zpb, scb)
+
+
+def quant_gmm_pair(lhs, qwa, zpa, sca, qwb, zpb, scb, group_sizes,
+                   interpret: bool = False):
+    """Paired grouped quantized matmul (same lhs, two weight sets)."""
+    m, k = lhs.shape
+    tm = _choose_tm(m)
+    offs, dst, m_pad = pad_group_layout(group_sizes, m, tm)
+    lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[dst].set(lhs)
+    oa, ob = quant_gmm_pair_padded(
+        lhs_p, offs, qwa, zpa, sca, qwb, zpb, scb, tm, interpret=interpret
+    )
+    return oa[dst], ob[dst]
+
+
 def _choose_tm(m: int) -> int:
     if m >= 4096:
         return 512
@@ -200,6 +337,14 @@ def quant_gmm(
     into a tm-aligned layout, runs the kernel, gathers back."""
     m, k = lhs.shape
     tm = _choose_tm(m)
+    if qw.shape[0] == 1:
+        # dense fast path (E = 1): plain row padding, no scatter/gather
+        m_pad = ((m + tm - 1) // tm) * tm
+        lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[:m].set(lhs)
+        offs = jnp.asarray([0, m_pad], jnp.int32)
+        out_p = quant_gmm_padded(lhs_p, offs, qw, zp, scale, tm,
+                                 interpret=interpret)
+        return out_p[:m]
     offs, dst, m_pad = pad_group_layout(group_sizes, m, tm)
     lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[dst].set(lhs)
     out_p = quant_gmm_padded(lhs_p, offs, qw, zp, scale, tm, interpret=interpret)

@@ -49,7 +49,25 @@ def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
-    """y = x @ dequant(qp); dequant fuses into the matmul under XLA."""
+    """y = x @ dequant(qp): fused Pallas kernel on TPU for AWQ int4
+    (weights stay packed in HBM), XLA fused dequant otherwise."""
+    if (
+        "zp" in qp
+        and qp["qw"].ndim == 2
+        and _use_pallas_gmm()
+        and qp["qw"].shape[1] % 128 == 0  # N lane alignment
+        and x.shape[-1] == qp["qw"].shape[0] * 2
+    ):
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        out = quant_gmm(
+            x2, qp["qw"][None], qp["zp"][None],
+            qp["scale"].astype(jnp.float32)[None],
+            jnp.asarray([x2.shape[0]], jnp.int32),
+        )
+        return out.reshape(*lead, -1).astype(x.dtype)
     w = dequantize(qp, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
@@ -63,6 +81,26 @@ def _use_pallas_gmm() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def quant_ragged_dot_pair(
+    xs: jax.Array, qp_a: dict, qp_b: dict, group_sizes: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
+    fused kernel pass shares activation DMAs and instance overhead."""
+    if "zp" in qp_a and _use_pallas_gmm():
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
+
+        return quant_gmm_pair(
+            xs,
+            qp_a["qw"], qp_a["zp"], qp_a["scale"].astype(jnp.float32),
+            qp_b["qw"], qp_b["zp"], qp_b["scale"].astype(jnp.float32),
+            group_sizes,
+        )
+    return (
+        quant_ragged_dot(xs, qp_a, group_sizes),
+        quant_ragged_dot(xs, qp_b, group_sizes),
+    )
 
 
 def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:

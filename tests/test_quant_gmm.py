@@ -45,3 +45,20 @@ def test_quant_gmm_matches_oracle(e, m, k, n, g, sizes):
     got = quant_gmm(x, qp["qw"], qp["zp"], qp["scale"], gs, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_quant_gmm_pair_matches_singles():
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
+
+    rng = np.random.default_rng(7)
+    e, m, k, n, g = 4, 96, 128, 256, 64
+    qa = make_quant_stack(rng, e, k, n, g)
+    qb = make_quant_stack(rng, e, k, n, g)
+    gs = jnp.asarray([40, 0, 16, 40], jnp.int32)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    ga = quant_gmm(x, qa["qw"], qa["zp"], qa["scale"], gs, interpret=True)
+    gb = quant_gmm(x, qb["qw"], qb["zp"], qb["scale"], gs, interpret=True)
+    pa, pb = quant_gmm_pair(x, qa["qw"], qa["zp"], qa["scale"],
+                            qb["qw"], qb["zp"], qb["scale"], gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(ga), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(gb), rtol=1e-5, atol=1e-5)
