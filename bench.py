@@ -111,8 +111,10 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tput / baseline, 3),
     }))
+    m = {k: round(v, 2) if isinstance(v, float) else v
+         for k, v in llm.metrics.summary().items()}
     print(f"# total={total_out} tok, time={elapsed:.1f}s, backend="
-          f"{__import__('jax').default_backend()}", file=sys.stderr)
+          f"{__import__('jax').default_backend()}, metrics={m}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -89,9 +89,13 @@ class ModelRunner:
                 validate_model_for_mesh,
             )
 
-            validate_model_for_mesh(mc, mesh.shape["tp"])
-            self.params = shard_tree(self.params, param_specs(self.params), mesh)
-            self.caches = shard_tree(self.caches, cache_specs(self.caches), mesh)
+            replicate_kv = validate_model_for_mesh(mc, mesh.shape["tp"])
+            self.params = shard_tree(
+                self.params, param_specs(self.params, replicate_kv), mesh
+            )
+            self.caches = shard_tree(
+                self.caches, cache_specs(self.caches, replicate_kv), mesh
+            )
             self._batch_shardings = jax.tree.map(
                 lambda s: NamedSharding(mesh, s), batch_specs(None)
             )

@@ -93,16 +93,34 @@ def _spec_for(path: tuple, leaf) -> P:
     return P(*([None] * pad), *rule)
 
 
-def param_specs(params) -> dict:
-    """PartitionSpec pytree matching a model's parameter tree."""
-    return jax.tree_util.tree_map_with_path(_spec_for, params)
+_KV_LEAVES = ("wk", "wv", "bk", "bv")
 
 
-def cache_specs(caches) -> dict:
+def param_specs(params, replicate_kv: bool = False) -> dict:
+    """PartitionSpec pytree matching a model's parameter tree.
+
+    ``replicate_kv``: when tp > num_kv_heads, K/V projections (and the KV
+    cache) are replicated instead of head-sharded — the reference's KV-head
+    replication (attention_new.py:21-32) expressed as sharding.
+    """
+
+    def spec(path, leaf):
+        if replicate_kv:
+            names = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if any(n in _KV_LEAVES for n in names):
+                return P()
+        return _spec_for(path, leaf)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def cache_specs(caches, replicate_kv: bool = False) -> dict:
     """KV caches: [L, H_kv, num_blocks, block_size, D] → heads on tp."""
 
     def spec(path, leaf):
         assert leaf.ndim == 5
+        if replicate_kv:
+            return P()
         return P(None, "tp", None, None, None)
 
     return jax.tree_util.tree_map_with_path(spec, caches)
@@ -129,13 +147,19 @@ def shard_tree(tree, specs, mesh: Mesh):
     )
 
 
-def validate_model_for_mesh(cfg, tp: int):
-    """Divisibility requirements for communication-free TP."""
+def validate_model_for_mesh(cfg, tp: int) -> bool:
+    """Divisibility requirements for communication-free TP.
+
+    Returns ``replicate_kv``: True when KV heads must be replicated
+    (tp > num_kv_heads), mirroring the reference's KV-head replication.
+    """
     assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
-    assert cfg.num_kv_heads % tp == 0, (
-        f"kv heads {cfg.num_kv_heads} not divisible by tp={tp}; "
-        "kv-head replication not yet implemented"
-    )
+    replicate_kv = cfg.num_kv_heads % tp != 0
+    if replicate_kv:
+        assert tp % cfg.num_kv_heads == 0 or cfg.num_kv_heads < tp, (
+            cfg.num_kv_heads, tp
+        )
     assert cfg.intermediate_size % tp == 0
     if cfg.is_moe:
         assert cfg.moe_intermediate_size % tp == 0
+    return replicate_kv

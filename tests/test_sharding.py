@@ -71,7 +71,7 @@ def greedy_tokens(runner, sched, prompts, n=6):
     return [s.completion_token_ids for s in seqs]
 
 
-@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (4, 2)])
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (4, 2), (1, 8)])
 def test_tp_matches_single_device(dp, tp):
     assert len(jax.devices()) >= dp * tp, "conftest must provide 8 cpu devices"
     validate_model_for_mesh(TINY_MOE, tp)
