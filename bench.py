@@ -88,6 +88,7 @@ def main():
 
     # warmup round compiles all bucket programs
     llm.generate(prompts[:num_seqs], [SamplingParams(temperature=0.6, max_tokens=4, ignore_eos=True)] * num_seqs, use_tqdm=False)
+    llm.metrics.reset()  # exclude compile-time from steady-state metrics
 
     t0 = time.perf_counter()
     outs = llm.generate(prompts, sp, use_tqdm=False)

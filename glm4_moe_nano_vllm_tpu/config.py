@@ -172,6 +172,7 @@ class Config:
     decode_buckets: tuple = DEFAULT_DECODE_BUCKETS
     prefill_seq_buckets: tuple = DEFAULT_PREFILL_SEQ_BUCKETS
     prefill_len_buckets: tuple = DEFAULT_PREFILL_LEN_BUCKETS
+    block_bucket_policy: str = "full"  # "full" (one compile) | "pow2"
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
     model_config: ModelConfig | None = None
     eos: int = -1

@@ -26,6 +26,12 @@ class EngineMetrics:
     e2e_s: list = field(default_factory=list)
     num_preemptions: int = 0
 
+    def reset(self) -> None:
+        """Zero all counters (e.g. after a compile-heavy warmup run)."""
+        arrivals = self._arrival
+        self.__init__()
+        self._arrival = arrivals
+
     def on_request(self, seq_id: int) -> None:
         self._arrival[seq_id] = time.perf_counter()
 

@@ -102,11 +102,17 @@ class ModelRunner:
             # batch buckets must be divisible by dp (power-of-two ladders)
             self._min_bucket = mesh.shape["dp"]
         self.block_size = config.kvcache_block_size
-        # max-blocks bucket ladder for block tables
+        # Block-table bucket ladder. Default: one full-size bucket — the
+        # Pallas kernels bound their loops by context_len, so padding the
+        # table costs nothing, and every extra bucket is a full XLA program
+        # compile. "pow2" trades compiles for smaller XLA-path gathers.
         mb = config.max_blocks_per_seq
-        self.block_buckets = tuple(
-            sorted({min(2 ** i, mb) for i in range(0, 32) if 2 ** (i - 1) < mb} | {mb})
-        )
+        if config.block_bucket_policy == "pow2":
+            self.block_buckets = tuple(sorted(
+                {min(2 ** i, mb) for i in range(0, 32) if 2 ** (i - 1) < mb} | {mb}
+            ))
+        else:
+            self.block_buckets = (mb,)
         self._base_key = jax.random.PRNGKey(config.rng_seed)
         self._step_counter = 0
 

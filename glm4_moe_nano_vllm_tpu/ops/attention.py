@@ -41,13 +41,11 @@ def paged_attention(
 ) -> jax.Array:
     # Mosaic DMA slices need the trailing dim 128-aligned; production head
     # dims are 128 (GLM-4.5 / Qwen3), tiny test models fall back to XLA.
-    # Decode always uses the Pallas kernel (cross-instance pipelined, wins at
-    # every measured context size). Prefill is compute-bound: the XLA path
-    # wins below ~512-token context capacity; the choice is static per
-    # compiled bucket shape.
+    # At small compiled context capacity the XLA gather path wins (measured
+    # in-engine: kernel grid/DMA latency dominates when each sequence holds
+    # only a few KV pages); the choice is static per bucket shape.
     kv_capacity = block_tables.shape[1] * k_cache.shape[2]
-    is_decode = q.shape[1] == 1
-    if _use_pallas() and q.shape[-1] % 128 == 0 and (is_decode or kv_capacity > 512):
+    if _use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > 512:
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

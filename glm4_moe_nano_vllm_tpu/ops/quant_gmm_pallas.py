@@ -6,24 +6,23 @@ and then matmuls (`/root/reference/nanovllm/layers/linear_awq_new.py:254-255`)
 (measured 1.5x decode slowdown vs bf16). This kernel keeps weights INT4 in
 HBM and dequantizes inside the matmul pipeline, in VMEM tiles.
 
-One kernel covers both uses:
-  * **Grouped (MoE experts)**: lhs rows sorted by expert, with every group's
-    start offset padded to the row-tile ``tm`` (the caller scatters rows into
-    the padded layout — see ``pad_group_layout``), rhs [E, K/2, N] packed
-    uint4 pairs, grid (expert, n_tile); empty groups are skipped entirely.
-  * **Dense**: E = 1, group_sizes = [M].
+Covers three uses through one kernel builder:
+  * **Grouped (MoE experts)** — ``quant_gmm``: lhs rows sorted by expert,
+    group offsets padded to the row tile (``pad_group_layout``).
+  * **Paired grouped (gate+up)** — ``quant_gmm_pair``: two weight sets share
+    one pass over the activations.
+  * **Dense** — E = 1 fast path (plain row padding, no scatter).
 
-Structure notes (measured on v5e):
-  * all scratch indexing is STATIC — dynamic buffer-slot reads in the
-    compute path copy the entire slab per read and measured 12x slower than
-    this single-buffered static kernel;
-  * each instance loads its expert's whole packed [K/2, TN] weight block +
-    scale/zero rows in one round of DMAs; each row chunk's [TM, K]
-    activations are one DMA; the K loop runs from VMEM with static offsets;
-  * nibbles are half-split-packed per quant group (ops/quant.py), so the
-    in-VMEM unpack is a contiguous row concat (an even/odd interleave is a
-    slow cross-sublane shuffle), and each K tile (== group) uses one
-    scale/zero row.
+Performance structure (measured on v5e; DMA latency dominates decode):
+  * ``eb`` experts are processed per grid instance; their packed weights are
+    contiguous in [E, K/2, N] so ONE DMA fetches all eb weight blocks —
+    per-expert DMA latency is amortized eb-fold;
+  * all scratch indexing is STATIC (dynamic buffer-slot reads copy whole
+    slabs and measured 12x slower), which is why the inner expert loop is a
+    Python range over the eb-resident weights;
+  * nibbles are half-split-packed per quant group (ops/quant.py): the VMEM
+    unpack is a contiguous row concat (even/odd interleave would be a slow
+    cross-sublane shuffle); each K tile (== group) uses one scale/zero row.
 """
 
 from __future__ import annotations
@@ -36,220 +35,99 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gmm_kernel(
-    # scalar prefetch
-    offs_ref,  # [E + 1] int32 tm-aligned row offsets
-    # inputs (ANY = HBM, manually DMA'd)
-    lhs_hbm,  # [M_pad, K]
-    qw_hbm,  # [E, K/2, N] uint8 (half-split nibble pairs per group)
-    zp_hbm,  # [E, K/G, N] uint8
-    scale_hbm,  # [E, K/G, N] f32
-    # output
-    out_hbm,  # [M_pad, N] (ANY)
-    # scratch (single-buffered, statically indexed)
-    x_scr,  # [TM, K]
-    w_scr,  # [K/2, TN] uint8
-    zp_scr,  # [KG, TN] uint8
-    sc_scr,  # [KG, TN] f32
-    o_scr,  # [TM, TN]
-    sems,  # [5]
-    *,
-    tm: int,
-    tn: int,
-    kt: int,  # == quant group size
-    nk: int,
-):
-    e = pl.program_id(0)
-    n = pl.program_id(1)
-    start = offs_ref[e]
-    cnt = offs_ref[e + 1] - start
-    nchunks = cnt // tm  # offsets are tm-aligned
+def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int):
+    k2 = nk * kt // 2
 
-    @pl.when(nchunks > 0)
-    def _():
+    def kernel(offs_ref, *refs):
+        lhs_hbm = refs[0]
+        w_hbm = refs[1: 1 + 3 * n_sets]  # (qw, zp, sc) per set
+        outs = refs[1 + 3 * n_sets: 1 + 3 * n_sets + n_sets]
+        scr = refs[1 + 4 * n_sets:]
+        x_scr = scr[0]
+        wzs_scr = scr[1: 1 + 3 * n_sets]  # (w, zp, sc) scratch per set
+        o_scr = scr[1 + 3 * n_sets: 1 + 4 * n_sets]
+        sems = scr[-1]
+
+        ei = pl.program_id(0)
+        n = pl.program_id(1)
+        e0 = ei * eb
         col = pl.multiple_of(n * tn, tn)
-        wcp = pltpu.make_async_copy(
-            qw_hbm.at[e, :, pl.ds(col, tn)], w_scr, sems.at[0]
-        )
-        zcp = pltpu.make_async_copy(
-            zp_hbm.at[e, :, pl.ds(col, tn)], zp_scr, sems.at[1]
-        )
-        scp = pltpu.make_async_copy(
-            scale_hbm.at[e, :, pl.ds(col, tn)], sc_scr, sems.at[2]
-        )
-        wcp.start()
-        zcp.start()
-        scp.start()
-        wcp.wait()
-        zcp.wait()
-        scp.wait()
 
-        def chunk_body(r, _):
-            row = pl.multiple_of(start + r * tm, tm)
-            xcp = pltpu.make_async_copy(
-                lhs_hbm.at[pl.ds(row, tm), :], x_scr, sems.at[3]
-            )
-            xcp.start()
-            xcp.wait()
-
-            acc = jnp.zeros((tm, tn), jnp.float32)
-            for ki in range(nk):  # static offsets, all VMEM
-                x = x_scr[:, ki * kt:(ki + 1) * kt]
-                q32 = w_scr[ki * (kt // 2):(ki + 1) * (kt // 2)].astype(jnp.int32)
-                lo = q32 & 0x0F
-                hi = (q32 >> 4) & 0x0F
-                qun = jnp.concatenate([lo, hi], axis=0)  # [KT, TN]
-                zp = zp_scr[ki: ki + 1].astype(jnp.int32)
-                scale = sc_scr[ki: ki + 1]
-                w = ((qun - zp).astype(jnp.float32) * scale).astype(x.dtype)
-                acc = acc + jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-            o_scr[...] = acc.astype(o_scr.dtype)
-            ocp = pltpu.make_async_copy(
-                o_scr, out_hbm.at[pl.ds(row, tm), pl.ds(n * tn, tn)], sems.at[4]
-            )
-            ocp.start()
-            ocp.wait()
-            return ()
-
-        jax.lax.fori_loop(0, nchunks, chunk_body, ())
-
-
-def _gmm_pair_kernel(
-    offs_ref,
-    lhs_hbm,  # [M_pad, K]
-    qwa_hbm, zpa_hbm, sca_hbm,  # weight set A [E, K/2, N] / [E, KG, N]
-    qwb_hbm, zpb_hbm, scb_hbm,  # weight set B
-    outa_hbm, outb_hbm,  # [M_pad, N]
-    x_scr, wa_scr, za_scr, sa_scr, wb_scr, zb_scr, sb_scr,
-    oa_scr, ob_scr, sems,
-    *,
-    tm: int,
-    tn: int,
-    kt: int,
-    nk: int,
-):
-    """Two GMMs sharing lhs (MoE gate+up): one pass over activations."""
-    e = pl.program_id(0)
-    n = pl.program_id(1)
-    start = offs_ref[e]
-    cnt = offs_ref[e + 1] - start
-    nchunks = cnt // tm
-
-    @pl.when(nchunks > 0)
-    def _():
-        col = pl.multiple_of(n * tn, tn)
-        copies = [
-            pltpu.make_async_copy(qwa_hbm.at[e, :, pl.ds(col, tn)], wa_scr, sems.at[0]),
-            pltpu.make_async_copy(zpa_hbm.at[e, :, pl.ds(col, tn)], za_scr, sems.at[1]),
-            pltpu.make_async_copy(sca_hbm.at[e, :, pl.ds(col, tn)], sa_scr, sems.at[2]),
-            pltpu.make_async_copy(qwb_hbm.at[e, :, pl.ds(col, tn)], wb_scr, sems.at[3]),
-            pltpu.make_async_copy(zpb_hbm.at[e, :, pl.ds(col, tn)], zb_scr, sems.at[4]),
-            pltpu.make_async_copy(scb_hbm.at[e, :, pl.ds(col, tn)], sb_scr, sems.at[5]),
-        ]
+        # one DMA per tensor fetches all eb experts' blocks (contiguous)
+        copies = []
+        for s in range(n_sets):
+            qw_hbm, zp_hbm, sc_hbm = w_hbm[3 * s: 3 * s + 3]
+            w_scr, zp_scr, sc_scr = wzs_scr[3 * s: 3 * s + 3]
+            copies += [
+                pltpu.make_async_copy(
+                    qw_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], w_scr,
+                    sems.at[3 * s]),
+                pltpu.make_async_copy(
+                    zp_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], zp_scr,
+                    sems.at[3 * s + 1]),
+                pltpu.make_async_copy(
+                    sc_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], sc_scr,
+                    sems.at[3 * s + 2]),
+            ]
         for c in copies:
             c.start()
         for c in copies:
             c.wait()
 
-        def chunk_body(r, _):
-            row = pl.multiple_of(start + r * tm, tm)
-            xcp = pltpu.make_async_copy(
-                lhs_hbm.at[pl.ds(row, tm), :], x_scr, sems.at[6]
-            )
-            xcp.start()
-            xcp.wait()
+        for el in range(eb):  # static expert offset within the resident block
+            start = offs_ref[e0 + el]
+            cnt = offs_ref[e0 + el + 1] - start
+            nchunks = cnt // tm
 
-            acc_a = jnp.zeros((tm, tn), jnp.float32)
-            acc_b = jnp.zeros((tm, tn), jnp.float32)
-            for ki in range(nk):
-                x = x_scr[:, ki * kt:(ki + 1) * kt]
-                for w_scr_, zp_scr_, sc_scr_, which in (
-                    (wa_scr, za_scr, sa_scr, 0),
-                    (wb_scr, zb_scr, sb_scr, 1),
-                ):
-                    q32 = w_scr_[ki * (kt // 2):(ki + 1) * (kt // 2)].astype(jnp.int32)
-                    lo = q32 & 0x0F
-                    hi = (q32 >> 4) & 0x0F
-                    qun = jnp.concatenate([lo, hi], axis=0)
-                    zp = zp_scr_[ki: ki + 1].astype(jnp.int32)
-                    scale = sc_scr_[ki: ki + 1]
-                    w = ((qun - zp).astype(jnp.float32) * scale).astype(x.dtype)
-                    d = jnp.dot(x, w, preferred_element_type=jnp.float32)
-                    if which == 0:
-                        acc_a = acc_a + d
-                    else:
-                        acc_b = acc_b + d
+            @pl.when(nchunks > 0)
+            def _(el=el, start=start, nchunks=nchunks):
+                def chunk_body(r, _):
+                    row = pl.multiple_of(start + r * tm, tm)
+                    xcp = pltpu.make_async_copy(
+                        lhs_hbm.at[pl.ds(row, tm), :], x_scr,
+                        sems.at[3 * n_sets],
+                    )
+                    xcp.start()
+                    xcp.wait()
 
-            oa_scr[...] = acc_a.astype(oa_scr.dtype)
-            ob_scr[...] = acc_b.astype(ob_scr.dtype)
-            ca = pltpu.make_async_copy(
-                oa_scr, outa_hbm.at[pl.ds(row, tm), pl.ds(n * tn, tn)], sems.at[7]
-            )
-            cb = pltpu.make_async_copy(
-                ob_scr, outb_hbm.at[pl.ds(row, tm), pl.ds(n * tn, tn)], sems.at[8]
-            )
-            ca.start()
-            cb.start()
-            ca.wait()
-            cb.wait()
-            return ()
+                    for s in range(n_sets):
+                        w_scr, zp_scr, sc_scr = wzs_scr[3 * s: 3 * s + 3]
+                        acc = jnp.zeros((tm, tn), jnp.float32)
+                        for ki in range(nk):
+                            x = x_scr[:, ki * kt:(ki + 1) * kt]
+                            q32 = w_scr[
+                                el, ki * (kt // 2):(ki + 1) * (kt // 2)
+                            ].astype(jnp.int32)
+                            lo = q32 & 0x0F
+                            hi = (q32 >> 4) & 0x0F
+                            qun = jnp.concatenate([lo, hi], axis=0)
+                            zp = zp_scr[el, ki: ki + 1].astype(jnp.int32)
+                            scale = sc_scr[el, ki: ki + 1]
+                            w = ((qun - zp).astype(jnp.float32) * scale).astype(
+                                x.dtype
+                            )
+                            acc = acc + jnp.dot(
+                                x, w, preferred_element_type=jnp.float32
+                            )
+                        o_scr[s][...] = acc.astype(o_scr[s].dtype)
 
-        jax.lax.fori_loop(0, nchunks, chunk_body, ())
+                    ocs = [
+                        pltpu.make_async_copy(
+                            o_scr[s],
+                            outs[s].at[pl.ds(row, tm), pl.ds(n * tn, tn)],
+                            sems.at[3 * n_sets + 1 + s],
+                        )
+                        for s in range(n_sets)
+                    ]
+                    for c in ocs:
+                        c.start()
+                    for c in ocs:
+                        c.wait()
+                    return ()
 
+                jax.lax.fori_loop(0, nchunks, chunk_body, ())
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
-def quant_gmm_pair_padded(
-    lhs_padded, offs, qwa, zpa, sca, qwb, zpb, scb, tm: int, interpret=False
-):
-    m_pad, k = lhs_padded.shape
-    e, k2, n = qwa.shape
-    assert qwb.shape == qwa.shape
-    kg = zpa.shape[1]
-    kt = k // kg
-    tn = n if n <= 512 or n % 512 != 0 else 512
-    assert n % tn == 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(e, n // tn),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        scratch_shapes=[
-            pltpu.VMEM((tm, k), lhs_padded.dtype),
-            pltpu.VMEM((k2, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.float32),
-            pltpu.VMEM((k2, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.float32),
-            pltpu.VMEM((tm, tn), lhs_padded.dtype),
-            pltpu.VMEM((tm, tn), lhs_padded.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_gmm_pair_kernel, tm=tm, tn=tn, kt=kt, nk=k // kt),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype)] * 2,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(offs, lhs_padded, qwa, zpa, sca, qwb, zpb, scb)
-
-
-def quant_gmm_pair(lhs, qwa, zpa, sca, qwb, zpb, scb, group_sizes,
-                   interpret: bool = False):
-    """Paired grouped quantized matmul (same lhs, two weight sets)."""
-    m, k = lhs.shape
-    tm = _choose_tm(m)
-    offs, dst, m_pad = pad_group_layout(group_sizes, m, tm)
-    lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[dst].set(lhs)
-    oa, ob = quant_gmm_pair_padded(
-        lhs_p, offs, qwa, zpa, sca, qwb, zpb, scb, tm, interpret=interpret
-    )
-    return oa[dst], ob[dst]
+    return kernel
 
 
 def _choose_tm(m: int) -> int:
@@ -262,48 +140,55 @@ def _choose_tm(m: int) -> int:
     return 8
 
 
+def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
+    """Experts resident per instance, bounded by a ~4MB weight-scratch budget."""
+    budget = 4 * 1024 * 1024
+    per_expert = k2 * tn * n_sets
+    eb = max(1, min(e, budget // max(per_expert, 1)))
+    while e % eb != 0:
+        eb -= 1
+    return eb
+
+
 @functools.partial(jax.jit, static_argnames=("tm", "interpret"))
-def quant_gmm_padded(
-    lhs_padded: jax.Array,  # [M_pad, K], group g's rows at offs[g] (tm-aligned)
-    offs: jax.Array,  # [E + 1] int32 tm-aligned offsets
-    qw: jax.Array,  # [E, K/2, N] uint8 half-split packed
-    zp: jax.Array,  # [E, K/G, N] uint8
-    scale: jax.Array,  # [E, K/G, N] float32
-    tm: int,
-    interpret: bool = False,
-) -> jax.Array:
+def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int, interpret: bool = False):
+    n_sets = len(wsets_flat) // 3
     m_pad, k = lhs_padded.shape
-    e, k2, n = qw.shape
-    assert k2 * 2 == k, (qw.shape, lhs_padded.shape)
-    kg = zp.shape[1]
+    e, k2, n = wsets_flat[0].shape
+    assert k2 * 2 == k, (wsets_flat[0].shape, lhs_padded.shape)
+    kg = wsets_flat[1].shape[1]
     kt = k // kg  # K tile == quant group size
-    assert kt % 2 == 0 and k % kt == 0
     tn = n if n <= 512 or n % 512 != 0 else 512
     assert n % tn == 0, (n, tn)
+    eb = _choose_eb(e, k2, tn, n_sets)
+
+    scratch = [pltpu.VMEM((tm, k), lhs_padded.dtype)]
+    for _ in range(n_sets):
+        scratch += [
+            pltpu.VMEM((eb, k2, tn), jnp.uint8),
+            pltpu.VMEM((eb, kg, tn), jnp.uint8),
+            pltpu.VMEM((eb, kg, tn), jnp.float32),
+        ]
+    scratch += [pltpu.VMEM((tm, tn), lhs_padded.dtype) for _ in range(n_sets)]
+    scratch += [pltpu.SemaphoreType.DMA((3 * n_sets + 1 + n_sets,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(e, n // tn),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((tm, k), lhs_padded.dtype),
-            pltpu.VMEM((k2, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.uint8),
-            pltpu.VMEM((kg, tn), jnp.float32),
-            pltpu.VMEM((tm, tn), lhs_padded.dtype),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        grid=(e // eb, n // tn),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + 3 * n_sets),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_sets,
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
-        functools.partial(_gmm_kernel, tm=tm, tn=tn, kt=kt, nk=k // kt),
+    out = pl.pallas_call(
+        _make_kernel(n_sets, tm=tm, tn=tn, kt=kt, nk=k // kt, eb=eb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype),
+        out_shape=[jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype)] * n_sets,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(offs, lhs_padded, qw, zp, scale)
+    )(offs, lhs_padded, *wsets_flat)
+    return out
 
 
 def pad_group_layout(group_sizes: jax.Array, m: int, tm: int):
@@ -325,27 +210,34 @@ def pad_group_layout(group_sizes: jax.Array, m: int, tm: int):
     return offs, dst, m_pad
 
 
-def quant_gmm(
-    lhs: jax.Array,  # [M, K] rows sorted by group
-    qw: jax.Array,
-    zp: jax.Array,
-    scale: jax.Array,
-    group_sizes: jax.Array,  # [E] int32
-    interpret: bool = False,
-) -> jax.Array:
-    """Grouped quantized matmul over unaligned group sizes: scatters rows
-    into a tm-aligned layout, runs the kernel, gathers back."""
+def _prepare(lhs, group_sizes, e):
     m, k = lhs.shape
     tm = _choose_tm(m)
-    if qw.shape[0] == 1:
-        # dense fast path (E = 1): plain row padding, no scatter/gather
+    if e == 1:
         m_pad = ((m + tm - 1) // tm) * tm
         lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[:m].set(lhs)
         offs = jnp.asarray([0, m_pad], jnp.int32)
-        out_p = quant_gmm_padded(lhs_p, offs, qw, zp, scale, tm,
-                                 interpret=interpret)
-        return out_p[:m]
+        return lhs_p, offs, None, tm
     offs, dst, m_pad = pad_group_layout(group_sizes, m, tm)
     lhs_p = jnp.zeros((m_pad, k), lhs.dtype).at[dst].set(lhs)
-    out_p = quant_gmm_padded(lhs_p, offs, qw, zp, scale, tm, interpret=interpret)
-    return out_p[dst]
+    return lhs_p, offs, dst, tm
+
+
+def quant_gmm(lhs, qw, zp, scale, group_sizes, interpret: bool = False):
+    """Grouped quantized matmul over unaligned group sizes."""
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qw.shape[0])
+    (out_p,) = _gmm_call(lhs_p, offs, qw, zp, scale, tm=tm, interpret=interpret)
+    return out_p[:m] if dst is None else out_p[dst]
+
+
+def quant_gmm_pair(lhs, qwa, zpa, sca, qwb, zpb, scb, group_sizes,
+                   interpret: bool = False):
+    """Paired grouped quantized matmul (same lhs, two weight sets)."""
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qwa.shape[0])
+    oa, ob = _gmm_call(lhs_p, offs, qwa, zpa, sca, qwb, zpb, scb,
+                       tm=tm, interpret=interpret)
+    if dst is None:
+        return oa[:m], ob[:m]
+    return oa[dst], ob[dst]
