@@ -20,6 +20,14 @@ import numpy as np
 
 
 def main():
+    import jax
+
+    # persistent compile cache: reruns skip the slow remote compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from glm4_moe_nano_vllm_tpu import LLM, SamplingParams
     from glm4_moe_nano_vllm_tpu.config import ModelConfig
 

@@ -173,6 +173,10 @@ class Config:
     prefill_seq_buckets: tuple = DEFAULT_PREFILL_SEQ_BUCKETS
     prefill_len_buckets: tuple = DEFAULT_PREFILL_LEN_BUCKETS
     block_bucket_policy: str = "full"  # "full" (one compile) | "pow2"
+    # decode tokens generated per device program (multi-step scheduling):
+    # amortizes the host<->device round trip, which dominates decode latency
+    # on remote-attached accelerators. Overshoot past EOS is truncated.
+    num_scheduler_steps: int = 8
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
     model_config: ModelConfig | None = None
     eos: int = -1

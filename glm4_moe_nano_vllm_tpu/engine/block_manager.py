@@ -124,32 +124,43 @@ class BlockManager:
         seq.num_computed_tokens = 0
         seq.block_table.clear()
 
-    def can_append(self, seq: Sequence) -> bool:
-        # Appending one token needs a fresh block only when the appended token
-        # opened a new block (len % bs == 1), cf. block_manager.py:93-94.
-        return self.num_free_blocks >= (len(seq) % self.block_size == 1)
+    # ---- decode-window capacity (multi-step generalization of the
+    # reference's can_append/may_append pair, block_manager.py:93-113) -------
 
-    def may_append(self, seq: Sequence) -> None:
-        block_table = seq.block_table
-        last_block = self.blocks[block_table[-1]]
-        n = len(seq)
-        if n % self.block_size == 1:
-            # previous block just filled and was sealed; open a new one
-            assert last_block.hash != -1 or not self.enable_prefix_caching
+    def blocks_needed(self, seq: Sequence, n_tokens: int) -> int:
+        """Blocks to add so the next ``n_tokens`` decode steps can write KV.
+
+        Step s writes KV for position len-1+s, so capacity must cover
+        len + n - 1 tokens.
+        """
+        total = len(seq) + n_tokens - 1
+        need = (total + self.block_size - 1) // self.block_size
+        return max(0, need - len(seq.block_table))
+
+    def can_append(self, seq: Sequence, n_tokens: int = 1) -> bool:
+        return self.num_free_blocks >= self.blocks_needed(seq, n_tokens)
+
+    def may_append(self, seq: Sequence, n_tokens: int = 1) -> None:
+        """Extend the block table to cover an n-token decode window."""
+        for _ in range(self.blocks_needed(seq, n_tokens)):
             block_id = self.free_block_ids[0]
             self._take_block(block_id)
-            block_table.append(block_id)
-        elif n % self.block_size == 0:
-            # last block just became full: seal it with its chained hash
-            assert last_block.hash == -1
-            if self.enable_prefix_caching:
-                token_ids = seq.block(seq.num_blocks - 1)
-                prefix = (
-                    self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
-                )
-                h = hash_block_tokens(token_ids, prefix)
-                last_block.hash = h
-                last_block.token_ids = token_ids
-                self.hash_to_block_id[h] = last_block.block_id
-        else:
-            assert last_block.hash == -1
+            seq.block_table.append(block_id)
+
+    def seal_if_full(self, seq: Sequence) -> None:
+        """After appending a token: if it filled a block, seal that block with
+        its chained hash for prefix-cache reuse (reference semantics at
+        block_manager.py:104-110, moved from schedule-time to append-time so
+        multi-token windows seal correctly)."""
+        if not self.enable_prefix_caching or len(seq) % self.block_size != 0:
+            return
+        idx = len(seq) // self.block_size - 1
+        block = self.blocks[seq.block_table[idx]]
+        if block.hash != -1:
+            return  # already sealed (e.g. prefix-cache hit)
+        prefix = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else -1
+        token_ids = seq.block(idx)
+        h = hash_block_tokens(token_ids, prefix)
+        block.hash = h
+        block.token_ids = token_ids
+        self.hash_to_block_id[h] = block.block_id

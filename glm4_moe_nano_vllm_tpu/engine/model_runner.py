@@ -117,13 +117,56 @@ class ModelRunner:
         self._step_counter = 0
 
         self._jit_step = jax.jit(self._step_fn, donate_argnums=(1,))
+        self._jit_multi = jax.jit(
+            self._multi_step_fn, donate_argnums=(1,), static_argnums=(4,)
+        )
 
-    # ---- device program --------------------------------------------------
+    # ---- device programs ---------------------------------------------------
 
     def _step_fn(self, params, caches, batch: BatchInfo, key):
         logits, caches = self.model.forward(params, caches, batch)
         tokens = sample(logits, batch.temperatures, key)
         return tokens, caches
+
+    def _multi_step_fn(self, params, caches, batch: BatchInfo, key, n_steps: int):
+        """n_steps decode iterations in one program (multi-step scheduling):
+        each step feeds its sampled token to the next; only the [n, B] token
+        block crosses back to the host. Replaces n host round trips with one
+        (the round trip dominates decode latency on remote accelerators)."""
+        bs = self.block_size
+        b = batch.num_seqs
+        rows = jnp.arange(b, dtype=jnp.int32)
+        zeros_b = jnp.zeros((b,), jnp.int32)
+
+        def body(carry, s):
+            caches, tok, pos, ctx = carry
+            active = ctx > 0  # padded rows never write
+            slot = jnp.where(
+                active,
+                batch.block_tables[rows, pos // bs] * bs + pos % bs,
+                -1,
+            )
+            info = BatchInfo(
+                token_ids=tok[:, None],
+                positions=pos[:, None],
+                slot_mapping=slot,
+                block_tables=batch.block_tables,
+                context_lens=ctx,
+                last_q_idx=zeros_b,
+                temperatures=batch.temperatures,
+            )
+            logits, caches = self.model.forward(params, caches, info)
+            nxt = sample(logits, batch.temperatures, jax.random.fold_in(key, s))
+            pos = jnp.where(active, pos + 1, pos)
+            ctx = jnp.where(active, ctx + 1, ctx)
+            return (caches, nxt, pos, ctx), nxt
+
+        init = (caches, batch.token_ids[:, 0], batch.positions[:, 0],
+                batch.context_lens)
+        (caches, *_), tokens = jax.lax.scan(
+            body, init, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        return tokens, caches  # tokens [n_steps, B]
 
     # ---- memory ----------------------------------------------------------
 
@@ -171,8 +214,10 @@ class ModelRunner:
             s = 1
         b = max(b, self._min_bucket)
 
+        window = 0 if batch.is_prefill else batch.num_steps - 1
         max_ctx_blocks = max(
-            (seq.num_computed_tokens + q + self.block_size - 1) // self.block_size
+            (seq.num_computed_tokens + q + window + self.block_size - 1)
+            // self.block_size
             for seq, q in zip(seqs, q_lens)
         )
         mb = bucket_of(max_ctx_blocks, self.block_buckets)
@@ -214,12 +259,23 @@ class ModelRunner:
 
     # ---- execution -------------------------------------------------------
 
-    def run(self, batch: ScheduledBatch) -> list[int]:
+    def run(self, batch: ScheduledBatch):
+        """Prefill: returns [B] sampled token ids. Decode: returns a per-seq
+        list of ``batch.num_steps`` token ids."""
         info = self.prepare(batch)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
-        return np.asarray(tokens)[: len(batch.seqs)].tolist()
+        n = len(batch.seqs)
+        if batch.is_prefill:
+            tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
+            return np.asarray(tokens)[:n].tolist()
+        if batch.num_steps == 1:
+            tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
+            return [[t] for t in np.asarray(tokens)[:n].tolist()]
+        tokens, self.caches = self._jit_multi(
+            self.params, self.caches, info, key, batch.num_steps
+        )
+        return np.asarray(tokens).T[:n].tolist()  # [B][n_steps]
 
     def _dummy_info(self, b: int, s: int, mb: int) -> BatchInfo:
         """Bucket-shaped batch whose writes are all slot == -1 no-ops (the

@@ -32,10 +32,13 @@ class ScheduledBatch:
     is_prefill: bool
     # per-seq number of query tokens this step (prefill only; decode is all 1s)
     q_lens: list[int]
+    # decode window: tokens generated per sequence in one device program
+    # (multi-step scheduling amortizes the host<->device round trip)
+    num_steps: int = 1
 
     @property
     def num_tokens(self) -> int:
-        return sum(self.q_lens)
+        return sum(self.q_lens) * (1 if self.is_prefill else self.num_steps)
 
 
 class Scheduler:
@@ -49,6 +52,7 @@ class Scheduler:
         )
         self.eos = config.eos
         self.max_model_len = config.max_model_len
+        self.num_decode_steps = config.num_scheduler_steps
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -107,10 +111,20 @@ class Scheduler:
             return ScheduledBatch(scheduled, is_prefill=True, q_lens=q_lens)
 
         # ---- decode phase --------------------------------------------------
+        # Window size: the largest power-of-two (bounded compile set) that
+        # fits every sequence's context-window headroom. Tokens generated
+        # past a sequence's EOS / max_tokens are truncated in postprocess.
+        n = self.num_decode_steps
+        for seq in self.running:
+            n = min(n, self.max_model_len - len(seq))
+        n = max(1, n)
+        while n & (n - 1):
+            n &= n - 1  # round down to a power of two
+
         num = 0
         while self.running and num < self.max_num_seqs:
             seq = self.running.popleft()
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_append(seq, n):
                 if self.running:
                     self.preempt(self.running.pop())
                 else:
@@ -118,11 +132,12 @@ class Scheduler:
                     break
             else:
                 num += 1
-                self.block_manager.may_append(seq)
+                self.block_manager.may_append(seq, n)
                 scheduled.append(seq)
         assert scheduled, "scheduler deadlock: nothing runnable"
         self.running.extendleft(reversed(scheduled))
-        return ScheduledBatch(scheduled, is_prefill=False, q_lens=[1] * len(scheduled))
+        return ScheduledBatch(scheduled, is_prefill=False,
+                              q_lens=[1] * len(scheduled), num_steps=n)
 
     def preempt(self, seq: Sequence) -> None:
         if self.metrics is not None:
@@ -146,12 +161,18 @@ class Scheduler:
                     # final chunk: sampled from the last token's logits
                     self._append_and_maybe_finish(seq, token_id)
         else:
-            for seq, token_id in zip(batch.seqs, token_ids):
-                seq.num_computed_tokens += 1
-                self._append_and_maybe_finish(seq, token_id)
+            # decode: token_ids is a per-seq list of num_steps tokens;
+            # tokens past EOS / max_tokens are discarded
+            for seq, toks in zip(batch.seqs, token_ids):
+                for token_id in toks:
+                    if seq.is_finished:
+                        break
+                    seq.num_computed_tokens += 1
+                    self._append_and_maybe_finish(seq, token_id)
 
     def _append_and_maybe_finish(self, seq: Sequence, token_id: int) -> None:
         seq.append_token(token_id)
+        self.block_manager.seal_if_full(seq)
         if (
             (not seq.ignore_eos and token_id == self.eos)
             or seq.num_completion_tokens >= seq.max_tokens

@@ -88,25 +88,24 @@ def test_chained_hash_depends_on_prefix():
     assert h1 != h2
 
 
-def test_may_append_block_boundaries():
+def test_append_seal_and_extend_boundaries():
     bm = BlockManager(num_blocks=8, block_size=BS)
     seq = make_seq(list(range(BS - 1)))
     bm.allocate(seq)
     assert len(seq.block_table) == 1
     # append token -> len == BS: block fills, gets sealed with a hash
     seq.append_token(7)
-    bm.may_append(seq)
+    bm.seal_if_full(seq)
     assert bm.blocks[seq.block_table[-1]].hash != -1
-    assert len(seq.block_table) == 1
-    # append token -> len == BS+1: a new block must open
+    # next step writes KV for position BS-1 (the appended token): still fits
+    assert bm.blocks_needed(seq, 1) == 0
+    # append another -> len BS+1: next step writes position BS -> new block
     seq.append_token(8)
-    bm.may_append(seq)
+    bm.seal_if_full(seq)
+    assert bm.blocks_needed(seq, 1) == 1
+    bm.may_append(seq, 1)
     assert len(seq.block_table) == 2
     assert bm.blocks[seq.block_table[-1]].hash == -1
-    # mid-block append: no-op
-    seq.append_token(9)
-    bm.may_append(seq)
-    assert len(seq.block_table) == 2
 
 
 def test_can_append_only_needs_block_at_boundary():
@@ -114,13 +113,24 @@ def test_can_append_only_needs_block_at_boundary():
     seq = make_seq(list(range(BS - 2)))
     bm.allocate(seq)
     assert bm.num_free_blocks == 0
-    seq.append_token(1)  # len = BS-1, mid block
-    assert bm.can_append(seq)
-    seq.append_token(2)  # len = BS, fills block
-    assert bm.can_append(seq)
-    bm.may_append(seq)
-    seq.append_token(3)  # len = BS+1 -> needs new block, none free
-    assert not bm.can_append(seq)
+    seq.append_token(1)  # len = BS-1; next step writes position BS-2 (fits)
+    assert bm.can_append(seq, 1)
+    seq.append_token(2)  # len = BS; next step writes position BS-1 (fits)
+    assert bm.can_append(seq, 1)
+    seq.append_token(3)  # len = BS+1; next step writes position BS -> new block
+    assert not bm.can_append(seq, 1)
+
+
+def test_multi_step_window_capacity():
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    seq = make_seq(list(range(BS - 2)))  # 14 tokens, 1 block
+    bm.allocate(seq)
+    # window of 8: writes positions 13..20 -> needs ceil(21/16)=2 blocks
+    assert bm.blocks_needed(seq, 8) == 1
+    bm.may_append(seq, 8)
+    assert len(seq.block_table) == 2
+    # window of BS+4: positions 13..32 -> ceil(33/16)=3 blocks -> 1 more
+    assert bm.blocks_needed(seq, BS + 4) == 1
 
 
 def test_prefix_caching_disabled():

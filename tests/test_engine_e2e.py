@@ -134,6 +134,25 @@ def test_many_sequences_continuous_batching(engine):
     assert all(len(o) == 5 for o in outs)
 
 
+def test_multi_step_decode_matches_single_step():
+    """num_scheduler_steps > 1 must be outcome-invariant for greedy."""
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6, 5]]
+    e1 = make_engine(TINY, num_scheduler_steps=1)
+    e8 = make_engine(TINY, num_scheduler_steps=8)
+    a = gen(e1, prompts, max_tokens=13, ignore_eos=True)
+    b = gen(e8, prompts, max_tokens=13, ignore_eos=True)
+    assert a == b
+
+
+def test_multi_step_decode_with_eos():
+    e8 = make_engine(TINY, num_scheduler_steps=4)
+    outs = gen(e8, [[1, 2, 3]], max_tokens=50, ignore_eos=False)
+    # whatever the model emits, lengths respect max_tokens and EOS rules
+    assert 1 <= len(outs[0]) <= 50
+    if 0 in outs[0]:
+        assert outs[0].index(0) == len(outs[0]) - 1  # EOS terminates
+
+
 def test_glm4_moe_generation():
     e = make_engine(TINY_MOE)
     outs = gen(e, [[1, 2, 3, 4], [5, 6, 7]], ignore_eos=True)

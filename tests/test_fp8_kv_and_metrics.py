@@ -47,7 +47,7 @@ def test_metrics_summary():
     e.generate([[1, 2, 3], [4, 5, 6, 7]], sp, use_tqdm=False)
     s = e.metrics.summary()
     assert s["num_prefill_steps"] >= 1
-    assert s["num_decode_steps"] >= 3
+    assert s["num_decode_steps"] >= 1  # multi-step windows batch decode steps
     assert s["prefill_tokens"] == 7
     assert s["decode_tokens"] >= 6
     assert s["ttft_p50_s"] > 0

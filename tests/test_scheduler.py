@@ -7,7 +7,7 @@ from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
 
 
 def make_scheduler(num_blocks=64, block_size=16, chunk=32, max_seqs=8,
-                   budget=256, eos=2, prefix_cache=True):
+                   budget=256, eos=2, prefix_cache=True, steps=1):
     cfg = Config(
         model="",
         model_config=ModelConfig(max_position_embeddings=4096),
@@ -18,6 +18,7 @@ def make_scheduler(num_blocks=64, block_size=16, chunk=32, max_seqs=8,
         num_kvcache_blocks=num_blocks,
         prefill_chunk_size=chunk,
         enable_prefix_caching=prefix_cache,
+        num_scheduler_steps=steps,
         eos=eos,
     )
     return Scheduler(cfg)
@@ -43,7 +44,8 @@ def test_prefill_then_decode():
     batch2 = s.schedule()
     assert not batch2.is_prefill
     assert batch2.q_lens == [1, 1]
-    s.postprocess(batch2, [102, 103])
+    assert batch2.num_steps == 1
+    s.postprocess(batch2, [[102], [103]])
     assert a.num_completion_tokens == 2
 
 
@@ -83,7 +85,7 @@ def test_eos_finishes_sequence():
     a = seq_of(4, max_tokens=100, ignore_eos=False)
     s.add(a)
     s.postprocess(s.schedule(), [7])
-    s.postprocess(s.schedule(), [2])  # EOS
+    s.postprocess(s.schedule(), [[2]])  # EOS
     assert a.is_finished
     assert s.is_finished()
 
@@ -93,7 +95,7 @@ def test_max_tokens_finishes_sequence():
     a = seq_of(4, max_tokens=2, ignore_eos=True)
     s.add(a)
     s.postprocess(s.schedule(), [7])
-    s.postprocess(s.schedule(), [7])
+    s.postprocess(s.schedule(), [[7]])
     assert a.is_finished
 
 
@@ -105,8 +107,8 @@ def test_preemption_under_block_pressure():
     s.postprocess(s.schedule(), [9, 9])  # both prefilled: len 31 each
     # decode to len 32 (fills block 2), then 33 -> each needs a 3rd block; none
     # free -> tail preemption must kick in.
-    s.postprocess(s.schedule(), [9, 9])  # len 32
-    s.postprocess(s.schedule(), [9, 9])  # len 33 pending block alloc next step
+    s.postprocess(s.schedule(), [[9], [9]])  # len 32
+    s.postprocess(s.schedule(), [[9], [9]])  # len 33: next write needs block 3
     batch = s.schedule()  # needs new blocks
     assert len(batch.seqs) == 1  # one seq preempted
     assert len(s.waiting) == 1
@@ -121,7 +123,7 @@ def test_preempted_seq_recomputes_all_tokens():
     a = seq_of(10, max_tokens=64)
     s.add(a)
     s.postprocess(s.schedule(), [9])
-    s.postprocess(s.schedule(), [9])  # len 12
+    s.postprocess(s.schedule(), [[9]])  # len 12
     s.preempt(a)
     batch = s.schedule()
     assert batch.is_prefill
@@ -136,3 +138,37 @@ def test_scheduler_output_order_is_stable():
     s.postprocess(s.schedule(), [0, 0, 0, 0])
     batch = s.schedule()
     assert batch.seqs == seqs  # decode preserves running order
+
+
+def test_multi_step_decode_window():
+    s = make_scheduler(steps=8)
+    a = seq_of(10, max_tokens=20)
+    s.add(a)
+    s.postprocess(s.schedule(), [0])  # prefill, len 11
+    b = s.schedule()
+    assert not b.is_prefill and b.num_steps == 8
+    s.postprocess(b, [[1, 2, 3, 4, 5, 6, 7, 8]])
+    assert a.num_completion_tokens == 9
+    assert a.num_remaining_tokens == 1
+
+
+def test_multi_step_truncates_past_eos():
+    s = make_scheduler(steps=8, eos=2)
+    a = seq_of(4, max_tokens=100, ignore_eos=False)
+    s.add(a)
+    s.postprocess(s.schedule(), [7])
+    b = s.schedule()
+    s.postprocess(b, [[9, 2, 9, 9, 9, 9, 9, 9]])  # EOS at window step 2
+    assert a.is_finished
+    assert a.completion_token_ids == [7, 9, 2]
+
+
+def test_multi_step_truncates_past_max_tokens():
+    s = make_scheduler(steps=8)
+    a = seq_of(4, max_tokens=3, ignore_eos=True)
+    s.add(a)
+    s.postprocess(s.schedule(), [7])
+    b = s.schedule()
+    s.postprocess(b, [[1, 2, 3, 4, 5, 6, 7, 8]])
+    assert a.is_finished
+    assert a.completion_token_ids == [7, 1, 2]
