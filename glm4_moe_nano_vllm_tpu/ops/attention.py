@@ -45,7 +45,8 @@ def paged_attention(
     # in-engine: kernel grid/DMA latency dominates when each sequence holds
     # only a few KV pages); the choice is static per bucket shape.
     kv_capacity = block_tables.shape[1] * k_cache.shape[2]
-    if _use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > 512:
+    min_cap = int(os.environ.get("NVT_PA_MIN_CAPACITY", "512"))
+    if _use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > min_cap:
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

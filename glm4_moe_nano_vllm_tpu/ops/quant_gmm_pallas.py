@@ -141,10 +141,13 @@ def _choose_tm(m: int) -> int:
 
 
 def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
-    """Experts resident per instance, bounded by a ~4MB weight-scratch budget."""
+    """Experts resident per instance: bounded by a ~4MB weight-scratch budget
+    and capped at 8 (the expert loop is fully unrolled — static indexing is
+    mandatory for VMEM read performance — so eb multiplies kernel code size
+    and Mosaic compile time)."""
     budget = 4 * 1024 * 1024
     per_expert = k2 * tn * n_sets
-    eb = max(1, min(e, budget // max(per_expert, 1)))
+    eb = max(1, min(e, 8, budget // max(per_expert, 1)))
     while e % eb != 0:
         eb -= 1
     return eb
