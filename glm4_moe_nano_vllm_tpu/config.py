@@ -163,7 +163,11 @@ class Config:
     num_kvcache_blocks: int = -1
     # --- TPU-specific additions ---
     data_parallel_size: int = 1
-    expert_parallel_size: int = 1
+    expert_parallel_size: int = 1  # resolved at runner init (reported, not set)
+    # MoE sharding over the tp axis: "ep" = experts sharded on E (full-Im
+    # grouped matmul per device, ops/moe.py moe_experts_ep), "im" = expert
+    # intermediate dim sharded, "auto" = ep when n_routed_experts % tp == 0.
+    moe_parallel: str = "auto"
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "bfloat16"  # or "float8_e4m3fn"
     enable_prefix_caching: bool = True

@@ -47,7 +47,13 @@ class LLMEngine:
                 config.eos = self.tokenizer.eos_token_id
 
         self.config = config
-        self.model_runner = ModelRunner(config)
+        mesh = None
+        if config.tensor_parallel_size * config.data_parallel_size > 1:
+            from glm4_moe_nano_vllm_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(dp=config.data_parallel_size,
+                             tp=config.tensor_parallel_size)
+        self.model_runner = ModelRunner(config, mesh=mesh)
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()
         self.scheduler.metrics = self.metrics

@@ -85,13 +85,18 @@ class ModelRunner:
                 batch_specs,
                 cache_specs,
                 param_specs,
+                resolve_moe_parallel,
                 shard_tree,
                 validate_model_for_mesh,
             )
 
-            replicate_kv = validate_model_for_mesh(mc, mesh.shape["tp"])
+            moe_ep = resolve_moe_parallel(mc, mesh.shape["tp"], config.moe_parallel)
+            replicate_kv = validate_model_for_mesh(mc, mesh.shape["tp"], moe_ep)
+            config.expert_parallel_size = mesh.shape["tp"] if moe_ep else 1
+            self.model.mesh = mesh
+            self.model.moe_ep = moe_ep
             self.params = shard_tree(
-                self.params, param_specs(self.params, replicate_kv), mesh
+                self.params, param_specs(self.params, replicate_kv, moe_ep), mesh
             )
             self.caches = shard_tree(
                 self.caches, cache_specs(self.caches, replicate_kv), mesh

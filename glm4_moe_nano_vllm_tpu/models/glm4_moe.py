@@ -28,7 +28,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     init_weight,
     mlp_block,
 )
-from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, route_topk
+from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, moe_experts_ep, route_topk
 
 
 class Glm4MoeForCausalLM:
@@ -41,6 +41,9 @@ class Glm4MoeForCausalLM:
         self.dtype = dtype
         self.num_dense = cfg.first_k_dense_replace
         self.num_moe = cfg.num_layers - self.num_dense
+        # set by ModelRunner when running sharded; EP shards experts on E
+        self.mesh = None
+        self.moe_ep = False
 
     # ---- parameters ------------------------------------------------------
 
@@ -153,10 +156,17 @@ class Glm4MoeForCausalLM:
                 cfg.num_experts_per_tok, cfg.routed_scaling_factor,
                 cfg.norm_topk_prob,
             )
-            routed = moe_experts(
-                flat, topk_idx, topk_w,
-                lp["expert_gate"], lp["expert_up"], lp["expert_down"],
-            )
+            if self.moe_ep:
+                routed = moe_experts_ep(
+                    flat, topk_idx, topk_w,
+                    lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+                    self.mesh,
+                )
+            else:
+                routed = moe_experts(
+                    flat, topk_idx, topk_w,
+                    lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+                )
             shared = mlp_block(
                 flat, lp["shared_gate"], lp["shared_up"], lp["shared_down"]
             )

@@ -55,6 +55,19 @@ def _grouped_matmul(xs, w, group_sizes):
     return jax.lax.ragged_dot(xs, w, group_sizes)
 
 
+def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype):
+    """gate/up → silu·mul → down over expert-contiguous rows."""
+    if isinstance(w_gate, dict) and isinstance(w_up, dict) and "zp" in w_gate:
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot_pair
+
+        g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes)
+    else:
+        g = _grouped_matmul(xs, w_gate, group_sizes)
+        u = _grouped_matmul(xs, w_up, group_sizes)
+    h = silu_and_mul(g, u).astype(out_dtype)
+    return _grouped_matmul(h, w_down, group_sizes)  # [rows, H]
+
+
 def moe_experts(
     x: jax.Array,  # [T, H]
     topk_idx: jax.Array,  # [T, K]
@@ -71,17 +84,88 @@ def moe_experts(
     xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
 
-    if isinstance(w_gate, dict) and isinstance(w_up, dict) and "zp" in w_gate:
-        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot_pair
-
-        g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes)
-    else:
-        g = _grouped_matmul(xs, w_gate, group_sizes)
-        u = _grouped_matmul(xs, w_up, group_sizes)
-    h = silu_and_mul(g, u).astype(x.dtype)
-    o = _grouped_matmul(h, w_down, group_sizes)  # [T*K, H]
-
+    o = _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, x.dtype)
     w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
     o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)
     out = jnp.zeros_like(x).at[tok_i].add(o)
     return out
+
+
+def moe_experts_ep(
+    x: jax.Array,  # [T, H], rows sharded over dp, replicated over tp
+    topk_idx: jax.Array,  # [T, K]
+    topk_w: jax.Array,  # [T, K] fp32
+    w_gate,  # [E, H, Im] array or quant dict, E sharded over tp
+    w_up,
+    w_down,  # [E, Im, H]
+    mesh,
+    axis: str = "tp",
+) -> jax.Array:
+    """Expert-parallel MoE: experts sharded on the E dim over ``axis``.
+
+    TPU-first realization of the reference's vendored-but-unused EP hooks
+    (`/root/reference/nanovllm/distributed/parallel_state_ref.py:792-805,
+    1071-1079`): instead of an explicit dispatch/combine all-to-all over
+    NCCL groups, activations stay replicated across the model axis (they
+    already are — attention output is psum-reduced), every device runs the
+    grouped matmul for just its E/n local experts at **full** ``Im`` width,
+    and one ``psum`` combines the partial token sums.
+
+    Why this beats Im-sharded TP-in-expert (same FLOPs, same one psum):
+    the GMM tiles are [*, Im] instead of [*, Im/n] — e.g. GLM-4.5-Air's
+    Im=1408 stays MXU-aligned at n=8 where 176-wide tiles waste most lanes —
+    and each device touches E/n experts' weights instead of all E, so the
+    weight DMA volume per device drops n-fold for the same output.
+    """
+    e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
+    n = mesh.shape[axis]
+    assert e % n == 0, (e, n)
+    e_local = e // n
+    k = topk_idx.shape[1]
+    from jax.sharding import PartitionSpec as P
+
+    other = [a for a in mesh.axis_names if a != axis]
+    row_spec = P(other[0] if other else None, None)
+
+    def local_moe(x, topk_idx, topk_w, wg, wu, wd):
+        t = x.shape[0]
+        tk = t * k
+        r = jax.lax.axis_index(axis)
+        lo = r * e_local
+        flat_e = topk_idx.reshape(-1)
+        sort_i = jnp.argsort(flat_e)  # stable: expert-contiguous spans
+        tok_i = sort_i // k
+        group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
+        ecsum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes, dtype=jnp.int32)]
+        )
+        start = jnp.take(ecsum, lo)  # first sorted row owned by this shard
+        local_sizes = jax.lax.dynamic_slice(group_sizes, (lo,), (e_local,))
+        local_total = jnp.sum(local_sizes)
+
+        # rotate the sorted order so this shard's expert span starts at row 0
+        rows = jnp.arange(tk, dtype=jnp.int32)
+        idx = (rows + start) % tk
+        tok_r = jnp.take(tok_i, idx)
+        w_flat = jnp.take(topk_w.reshape(-1), jnp.take(sort_i, idx))
+        valid = rows < local_total  # rows past the local span are padding
+        xs = jnp.take(x, tok_r, axis=0)
+        xs = jnp.where(valid[:, None], xs, 0)
+
+        o = _expert_gmms(xs, wg, wu, wd, local_sizes, x.dtype)
+        # rows outside the local span were never written by the grouped
+        # matmul — select (not multiply) so garbage/NaN can't leak through
+        o = jnp.where(valid[:, None], o.astype(jnp.float32), 0.0)
+        o = o * jnp.where(valid, w_flat, 0.0)[:, None]
+        part = jnp.zeros_like(x).at[tok_r].add(o.astype(x.dtype))
+        return jax.lax.psum(part, axis)
+
+    fn = jax.shard_map(
+        local_moe,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec,
+                  P(axis, None, None), P(axis, None, None), P(axis, None, None)),
+        out_specs=row_spec,
+        check_vma=False,
+    )
+    return fn(x, topk_idx, topk_w, w_gate, w_up, w_down)

@@ -70,7 +70,17 @@ _RULES = {
 }
 
 
-def _spec_for(path: tuple, leaf) -> P:
+# Expert-parallel overlay: expert stacks shard on the E dim (trailing dims
+# [E, *, *]) instead of the intermediate dim — see ops/moe.py moe_experts_ep.
+_EP_RULES = {
+    "expert_gate": P("tp", None, None),
+    "expert_up": P("tp", None, None),
+    "expert_down": P("tp", None, None),
+}
+
+
+def _spec_for(path: tuple, leaf, rules=None) -> P:
+    rules = rules or _RULES
     # jax tree paths: DictKey entries
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
     if name in ("qw", "zp", "scale") and len(path) >= 2:
@@ -79,11 +89,11 @@ def _spec_for(path: tuple, leaf) -> P:
         # weights but are replicated for row-parallel ones (K/G is rarely
         # divisible by tp, and they are tiny)
         parent = path[-2].key if hasattr(path[-2], "key") else str(path[-2])
-        rule = _RULES.get(parent, P())
+        rule = rules.get(parent, P())
         if name != "qw" and len(rule) >= 2 and rule[-2] is not None:
             return P()
         name = parent
-    rule = _RULES.get(name)
+    rule = rules.get(name)
     if rule is None:
         return P()
     ndim = np.ndim(leaf) if not hasattr(leaf, "ndim") else leaf.ndim
@@ -96,20 +106,24 @@ def _spec_for(path: tuple, leaf) -> P:
 _KV_LEAVES = ("wk", "wv", "bk", "bv")
 
 
-def param_specs(params, replicate_kv: bool = False) -> dict:
+def param_specs(params, replicate_kv: bool = False, moe_ep: bool = False) -> dict:
     """PartitionSpec pytree matching a model's parameter tree.
 
     ``replicate_kv``: when tp > num_kv_heads, K/V projections (and the KV
     cache) are replicated instead of head-sharded — the reference's KV-head
     replication (attention_new.py:21-32) expressed as sharding.
+
+    ``moe_ep``: shard routed-expert stacks on the expert dim (expert
+    parallelism over the tp axis) instead of the intermediate dim.
     """
+    rules = {**_RULES, **_EP_RULES} if moe_ep else _RULES
 
     def spec(path, leaf):
         if replicate_kv:
             names = [p.key if hasattr(p, "key") else str(p) for p in path]
             if any(n in _KV_LEAVES for n in names):
                 return P()
-        return _spec_for(path, leaf)
+        return _spec_for(path, leaf, rules)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -147,8 +161,8 @@ def shard_tree(tree, specs, mesh: Mesh):
     )
 
 
-def validate_model_for_mesh(cfg, tp: int) -> bool:
-    """Divisibility requirements for communication-free TP.
+def validate_model_for_mesh(cfg, tp: int, moe_ep: bool = False) -> bool:
+    """Divisibility requirements for communication-free TP (+ optional EP).
 
     Returns ``replicate_kv``: True when KV heads must be replicated
     (tp > num_kv_heads), mirroring the reference's KV-head replication.
@@ -161,5 +175,20 @@ def validate_model_for_mesh(cfg, tp: int) -> bool:
         )
     assert cfg.intermediate_size % tp == 0
     if cfg.is_moe:
-        assert cfg.moe_intermediate_size % tp == 0
+        if moe_ep:
+            assert cfg.n_routed_experts % tp == 0, (cfg.n_routed_experts, tp)
+        else:
+            assert cfg.moe_intermediate_size % tp == 0
     return replicate_kv
+
+
+def resolve_moe_parallel(cfg, tp: int, knob: str = "auto") -> bool:
+    """Pick the MoE sharding mode: "ep" (experts over tp, full-Im GMM),
+    "im" (intermediate over tp), or "auto" (ep when divisible)."""
+    if not cfg.is_moe or tp <= 1:
+        return False
+    can_ep = cfg.n_routed_experts % tp == 0
+    if knob == "ep":
+        assert can_ep, (cfg.n_routed_experts, tp)
+        return True
+    return knob == "auto" and can_ep

@@ -47,13 +47,13 @@ TINY_MOE = ModelConfig(
 )
 
 
-def make_runner(mc, mesh=None):
+def make_runner(mc, mesh=None, moe_parallel="im"):
     cfg = Config(
         model="", model_config=mc, max_num_seqs=4, max_model_len=128,
         kvcache_block_size=16, num_kvcache_blocks=64, prefill_chunk_size=64,
         enforce_eager=True, dtype="float32", kv_cache_dtype="float32",
         decode_buckets=(1, 2, 4), prefill_seq_buckets=(1, 2, 4),
-        prefill_len_buckets=(16, 32, 64),
+        prefill_len_buckets=(16, 32, 64), moe_parallel=moe_parallel,
     )
     return ModelRunner(cfg, mesh=mesh), Scheduler(cfg)
 
@@ -83,6 +83,43 @@ def test_tp_matches_single_device(dp, tp):
     mesh = make_mesh(dp=dp, tp=tp)
     r2, s2 = make_runner(TINY_MOE, mesh=mesh)
     # same random weights: re-init with same seed happens inside ModelRunner
+    sharded = greedy_tokens(r2, s2, prompts)
+    assert base == sharded
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (1, 8)])
+def test_ep_matches_single_device(dp, tp):
+    """Expert parallelism (E-dim sharding + psum combine) vs single device."""
+    assert len(jax.devices()) >= dp * tp
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [11, 12]]
+
+    r1, s1 = make_runner(TINY_MOE)
+    base = greedy_tokens(r1, s1, prompts)
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    r2, s2 = make_runner(TINY_MOE, mesh=mesh, moe_parallel="ep")
+    assert r2.model.moe_ep
+    sharded = greedy_tokens(r2, s2, prompts)
+    assert base == sharded
+
+
+def test_ep_matches_single_device_quantized():
+    """EP with AWQ INT4 expert weights (quant-dict leaves sharded on E)."""
+    from dataclasses import replace
+
+    from glm4_moe_nano_vllm_tpu.config import QuantConfig
+
+    mc = replace(TINY_MOE, hidden_size=128, moe_intermediate_size=128,
+                 intermediate_size=256,
+                 quant=QuantConfig(method="awq", bits=4, group_size=128))
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    r1, s1 = make_runner(mc)
+    base = greedy_tokens(r1, s1, prompts)
+
+    mesh = make_mesh(dp=1, tp=4)
+    r2, s2 = make_runner(mc, mesh=mesh, moe_parallel="ep")
+    assert r2.model.moe_ep
     sharded = greedy_tokens(r2, s2, prompts)
     assert base == sharded
 
