@@ -39,7 +39,11 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
 # expert dims are added automatically based on rank difference).
 _RULES = {
     # embeddings / head
-    "embed": P(None, None),
+    # vocab-sharded like the reference's VocabParallelEmbedding
+    # (embed_head.py:19-23); GSPMD emits the masked-gather + psum that the
+    # reference writes by hand (embed_head.py:34-42). With tied embeddings
+    # the transpose is the lm_head, consistent with the P(None, tp) rule.
+    "embed": P("tp", None),
     "final_norm": P(None),
     "lm_head": P(None, "tp"),  # vocab-sharded logits, all-gathered at sample
     # attention (trailing dims of stacked arrays)
