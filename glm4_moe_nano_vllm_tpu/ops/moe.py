@@ -57,7 +57,7 @@ def _grouped_matmul(xs, w, group_sizes):
 
 def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype):
     """gate/up → silu·mul → down over expert-contiguous rows."""
-    if isinstance(w_gate, dict) and isinstance(w_up, dict) and "zp" in w_gate:
+    if isinstance(w_gate, dict) and isinstance(w_up, dict):
         from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot_pair
 
         g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes)

@@ -35,17 +35,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int):
-    k2 = nk * kt // 2
+def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int,
+                 n_w: int):
+    """n_w = tensors per weight set: 3 = int4 (qw, zp, scale), 2 = int8
+    (qw, scale)."""
 
     def kernel(offs_ref, *refs):
         lhs_hbm = refs[0]
-        w_hbm = refs[1: 1 + 3 * n_sets]  # (qw, zp, sc) per set
-        outs = refs[1 + 3 * n_sets: 1 + 3 * n_sets + n_sets]
-        scr = refs[1 + 4 * n_sets:]
+        w_hbm = refs[1: 1 + n_w * n_sets]
+        outs = refs[1 + n_w * n_sets: 1 + (n_w + 1) * n_sets]
+        scr = refs[1 + (n_w + 1) * n_sets:]
         x_scr = scr[0]
-        wzs_scr = scr[1: 1 + 3 * n_sets]  # (w, zp, sc) scratch per set
-        o_scr = scr[1 + 3 * n_sets: 1 + 4 * n_sets]
+        wzs_scr = scr[1: 1 + n_w * n_sets]  # weight scratch per set
+        o_scr = scr[1 + n_w * n_sets: 1 + (n_w + 1) * n_sets]
         sems = scr[-1]
 
         ei = pl.program_id(0)
@@ -56,19 +58,10 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int):
         # one DMA per tensor fetches all eb experts' blocks (contiguous)
         copies = []
         for s in range(n_sets):
-            qw_hbm, zp_hbm, sc_hbm = w_hbm[3 * s: 3 * s + 3]
-            w_scr, zp_scr, sc_scr = wzs_scr[3 * s: 3 * s + 3]
-            copies += [
-                pltpu.make_async_copy(
-                    qw_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], w_scr,
-                    sems.at[3 * s]),
-                pltpu.make_async_copy(
-                    zp_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], zp_scr,
-                    sems.at[3 * s + 1]),
-                pltpu.make_async_copy(
-                    sc_hbm.at[pl.ds(e0, eb), :, pl.ds(col, tn)], sc_scr,
-                    sems.at[3 * s + 2]),
-            ]
+            for j in range(n_w):
+                copies.append(pltpu.make_async_copy(
+                    w_hbm[n_w * s + j].at[pl.ds(e0, eb), :, pl.ds(col, tn)],
+                    wzs_scr[n_w * s + j], sems.at[n_w * s + j]))
         for c in copies:
             c.start()
         for c in copies:
@@ -85,27 +78,34 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int):
                     row = pl.multiple_of(start + r * tm, tm)
                     xcp = pltpu.make_async_copy(
                         lhs_hbm.at[pl.ds(row, tm), :], x_scr,
-                        sems.at[3 * n_sets],
+                        sems.at[n_w * n_sets],
                     )
                     xcp.start()
                     xcp.wait()
 
                     for s in range(n_sets):
-                        w_scr, zp_scr, sc_scr = wzs_scr[3 * s: 3 * s + 3]
                         acc = jnp.zeros((tm, tn), jnp.float32)
                         for ki in range(nk):
                             x = x_scr[:, ki * kt:(ki + 1) * kt]
-                            q32 = w_scr[
-                                el, ki * (kt // 2):(ki + 1) * (kt // 2)
-                            ].astype(jnp.int32)
-                            lo = q32 & 0x0F
-                            hi = (q32 >> 4) & 0x0F
-                            qun = jnp.concatenate([lo, hi], axis=0)
-                            zp = zp_scr[el, ki: ki + 1].astype(jnp.int32)
+                            sc_scr = wzs_scr[n_w * s + n_w - 1]
                             scale = sc_scr[el, ki: ki + 1]
-                            w = ((qun - zp).astype(jnp.float32) * scale).astype(
-                                x.dtype
-                            )
+                            if n_w == 3:  # int4: unpack nibbles, shift by zp
+                                w_scr, zp_scr = (wzs_scr[3 * s],
+                                                 wzs_scr[3 * s + 1])
+                                q32 = w_scr[
+                                    el, ki * (kt // 2):(ki + 1) * (kt // 2)
+                                ].astype(jnp.int32)
+                                lo = q32 & 0x0F
+                                hi = (q32 >> 4) & 0x0F
+                                qun = jnp.concatenate([lo, hi], axis=0)
+                                zp = zp_scr[el, ki: ki + 1].astype(jnp.int32)
+                                q = (qun - zp).astype(jnp.float32)
+                            else:  # int8: symmetric, no zero-point
+                                w_scr = wzs_scr[2 * s]
+                                q = w_scr[
+                                    el, ki * kt:(ki + 1) * kt
+                                ].astype(jnp.float32)
+                            w = (q * scale).astype(x.dtype)
                             acc = acc + jnp.dot(
                                 x, w, preferred_element_type=jnp.float32
                             )
@@ -115,7 +115,7 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int):
                         pltpu.make_async_copy(
                             o_scr[s],
                             outs[s].at[pl.ds(row, tm), pl.ds(n * tn, tn)],
-                            sems.at[3 * n_sets + 1 + s],
+                            sems.at[n_w * n_sets + 1 + s],
                         )
                         for s in range(n_sets)
                     ]
@@ -155,35 +155,44 @@ def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("tm", "interpret"))
 def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int, interpret: bool = False):
-    n_sets = len(wsets_flat) // 3
+    # int4 sets are (qw u8-packed, zp, scale); int8 sets are (qw i8, scale)
+    int4 = wsets_flat[0].dtype == jnp.uint8
+    n_w = 3 if int4 else 2
+    n_sets = len(wsets_flat) // n_w
     m_pad, k = lhs_padded.shape
-    e, k2, n = wsets_flat[0].shape
-    assert k2 * 2 == k, (wsets_flat[0].shape, lhs_padded.shape)
+    e, kw, n = wsets_flat[0].shape  # kw = K/2 (int4 packed) or K (int8)
+    assert kw * (2 if int4 else 1) == k, (wsets_flat[0].shape, lhs_padded.shape)
     kg = wsets_flat[1].shape[1]
     kt = k // kg  # K tile == quant group size
     tn = n if n <= 512 or n % 512 != 0 else 512
     assert n % tn == 0, (n, tn)
-    eb = _choose_eb(e, k2, tn, n_sets)
+    eb = _choose_eb(e, kw, tn, n_sets)
 
     scratch = [pltpu.VMEM((tm, k), lhs_padded.dtype)]
     for _ in range(n_sets):
-        scratch += [
-            pltpu.VMEM((eb, k2, tn), jnp.uint8),
-            pltpu.VMEM((eb, kg, tn), jnp.uint8),
-            pltpu.VMEM((eb, kg, tn), jnp.float32),
-        ]
+        if int4:
+            scratch += [
+                pltpu.VMEM((eb, kw, tn), jnp.uint8),
+                pltpu.VMEM((eb, kg, tn), jnp.uint8),
+                pltpu.VMEM((eb, kg, tn), jnp.float32),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((eb, kw, tn), jnp.int8),
+                pltpu.VMEM((eb, kg, tn), jnp.float32),
+            ]
     scratch += [pltpu.VMEM((tm, tn), lhs_padded.dtype) for _ in range(n_sets)]
-    scratch += [pltpu.SemaphoreType.DMA((3 * n_sets + 1 + n_sets,))]
+    scratch += [pltpu.SemaphoreType.DMA((n_w * n_sets + 1 + n_sets,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(e // eb, n // tn),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + 3 * n_sets),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + n_w * n_sets),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_sets,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        _make_kernel(n_sets, tm=tm, tn=tn, kt=kt, nk=k // kt, eb=eb),
+        _make_kernel(n_sets, tm=tm, tn=tn, kt=kt, nk=k // kt, eb=eb, n_w=n_w),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype)] * n_sets,
         compiler_params=pltpu.CompilerParams(
@@ -241,6 +250,27 @@ def quant_gmm_pair(lhs, qwa, zpa, sca, qwb, zpb, scb, group_sizes,
     lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qwa.shape[0])
     oa, ob = _gmm_call(lhs_p, offs, qwa, zpa, sca, qwb, zpb, scb,
                        tm=tm, interpret=interpret)
+    if dst is None:
+        return oa[:m], ob[:m]
+    return oa[dst], ob[dst]
+
+
+def quant_gmm_int8(lhs, qw, scale, group_sizes, interpret: bool = False):
+    """Grouped matmul with symmetric INT8 weights [E, K, N] (no zero-point);
+    weights stay int8 in HBM, dequantized in VMEM tiles."""
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qw.shape[0])
+    (out_p,) = _gmm_call(lhs_p, offs, qw, scale, tm=tm, interpret=interpret)
+    return out_p[:m] if dst is None else out_p[dst]
+
+
+def quant_gmm_int8_pair(lhs, qwa, sca, qwb, scb, group_sizes,
+                        interpret: bool = False):
+    """Paired INT8 grouped matmul (same lhs, two weight sets)."""
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qwa.shape[0])
+    oa, ob = _gmm_call(lhs_p, offs, qwa, sca, qwb, scb, tm=tm,
+                       interpret=interpret)
     if dst is None:
         return oa[:m], ob[:m]
     return oa[dst], ob[dst]

@@ -49,33 +49,44 @@ def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
-    """y = x @ dequant(qp): fused Pallas kernel on TPU for AWQ int4
-    (weights stay packed in HBM), XLA fused dequant otherwise."""
+    """y = x @ dequant(qp): fused Pallas kernel on TPU (weights stay int4
+    packed / int8 in HBM), XLA fused dequant otherwise."""
+    kq = qp["qw"].shape[0] * (2 if "zp" in qp else 1)
     if (
-        "zp" in qp
-        and qp["qw"].ndim == 2
-        and _use_pallas_gmm()
+        qp["qw"].ndim == 2
+        and _use_pallas_gmm(int4="zp" in qp)
         and qp["qw"].shape[1] % 128 == 0  # N lane alignment
-        and x.shape[-1] == qp["qw"].shape[0] * 2
+        and x.shape[-1] == kq
     ):
-        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
+            quant_gmm,
+            quant_gmm_int8,
+        )
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        out = quant_gmm(
-            x2, qp["qw"][None], qp["zp"][None],
-            qp["scale"].astype(jnp.float32)[None],
-            jnp.asarray([x2.shape[0]], jnp.int32),
-        )
+        gs = jnp.asarray([x2.shape[0]], jnp.int32)
+        scale = qp["scale"].astype(jnp.float32)[None]
+        if "zp" in qp:
+            out = quant_gmm(x2, qp["qw"][None], qp["zp"][None], scale, gs)
+        else:
+            out = quant_gmm_int8(x2, qp["qw"][None], scale, gs)
         return out.reshape(*lead, -1).astype(x.dtype)
     w = dequantize(qp, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
-def _use_pallas_gmm() -> bool:
+def _use_pallas_gmm(int4: bool = True) -> bool:
     import os
 
     if os.environ.get("NVT_FORCE_XLA_QUANT"):
+        return False
+    if not int4 and not os.environ.get("NVT_PALLAS_INT8"):
+        # INT8 stays on XLA by default: int8→bf16 is a native convert that
+        # XLA fuses into the (ragged) matmul, and measured on v5e it beats
+        # the Pallas GMM at decode and prefill shapes (e.g. E=32 m=256:
+        # 0.69ms vs 1.08ms). INT4 nibble unpack does NOT fuse — the Pallas
+        # kernel wins there. NVT_PALLAS_INT8=1 re-enables for tuning.
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -88,13 +99,22 @@ def quant_ragged_dot_pair(
 ) -> tuple[jax.Array, jax.Array]:
     """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
     fused kernel pass shares activation DMAs and instance overhead."""
-    if "zp" in qp_a and _use_pallas_gmm():
-        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
+    if _use_pallas_gmm(int4="zp" in qp_a):
+        if "zp" in qp_a:
+            from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
 
-        return quant_gmm_pair(
+            return quant_gmm_pair(
+                xs,
+                qp_a["qw"], qp_a["zp"], qp_a["scale"].astype(jnp.float32),
+                qp_b["qw"], qp_b["zp"], qp_b["scale"].astype(jnp.float32),
+                group_sizes,
+            )
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8_pair
+
+        return quant_gmm_int8_pair(
             xs,
-            qp_a["qw"], qp_a["zp"], qp_a["scale"].astype(jnp.float32),
-            qp_b["qw"], qp_b["zp"], qp_b["scale"].astype(jnp.float32),
+            qp_a["qw"], qp_a["scale"].astype(jnp.float32),
+            qp_b["qw"], qp_b["scale"].astype(jnp.float32),
             group_sizes,
         )
     return (
@@ -106,14 +126,18 @@ def quant_ragged_dot_pair(
 def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:
     """Grouped expert matmul with quantized per-expert weights [E, K, M].
 
-    On TPU with AWQ int4 weights this runs the fused Pallas GMM (weights
-    stay packed in HBM); otherwise dequantize + ragged_dot (XLA fuses what
-    it can, but materializes the expert stack — fallback only).
+    On TPU this runs the fused Pallas GMM (weights stay int4-packed / int8
+    in HBM); otherwise dequantize + ragged_dot (XLA fuses what it can, but
+    materializes the expert stack — fallback only).
     """
-    if "zp" in qp and _use_pallas_gmm():
-        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
+    if _use_pallas_gmm(int4="zp" in qp):
+        scale = qp["scale"].astype(jnp.float32)
+        if "zp" in qp:
+            from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
 
-        return quant_gmm(xs, qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32),
-                         group_sizes)
+            return quant_gmm(xs, qp["qw"], qp["zp"], scale, group_sizes)
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8
+
+        return quant_gmm_int8(xs, qp["qw"], scale, group_sizes)
     w = dequantize(qp, xs.dtype)
     return jax.lax.ragged_dot(xs, w, group_sizes)

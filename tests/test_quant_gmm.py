@@ -47,6 +47,58 @@ def test_quant_gmm_matches_oracle(e, m, k, n, g, sizes):
                                rtol=2e-4, atol=2e-4)
 
 
+def make_int8_stack(rng, e, k, n, g):
+    qw = rng.integers(-127, 128, size=(e, k, n)).astype(np.int8)
+    scale = (np.abs(rng.normal(size=(e, k // g, n))) * 0.003 + 1e-4).astype(np.float32)
+    return {"qw": jnp.asarray(qw), "scale": jnp.asarray(scale)}
+
+
+@pytest.mark.parametrize(
+    "e,m,k,n,g,sizes",
+    [
+        (1, 16, 256, 128, 128, None),  # dense-equivalent
+        (4, 64, 256, 128, 64, [10, 0, 37, 17]),  # zero-size group
+        (8, 200, 128, 256, 32, None),  # random sizes
+    ],
+)
+def test_quant_gmm_int8_matches_oracle(e, m, k, n, g, sizes):
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8
+
+    rng = np.random.default_rng(3)
+    qp = make_int8_stack(rng, e, k, n, g)
+    if sizes is None:
+        cuts = np.sort(rng.integers(0, m + 1, size=e - 1)) if e > 1 else []
+        sizes = np.diff(np.concatenate([[0], cuts, [m]]))
+    gs = jnp.asarray(np.asarray(sizes, np.int32))
+    assert int(gs.sum()) == m
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+
+    ref = jax.lax.ragged_dot(x, dequantize(qp, jnp.float32), gs)
+    got = quant_gmm_int8(x, qp["qw"], qp["scale"], gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_quant_gmm_int8_pair_matches_singles():
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
+        quant_gmm_int8,
+        quant_gmm_int8_pair,
+    )
+
+    rng = np.random.default_rng(9)
+    e, m, k, n, g = 4, 96, 128, 256, 64
+    qa = make_int8_stack(rng, e, k, n, g)
+    qb = make_int8_stack(rng, e, k, n, g)
+    gs = jnp.asarray([40, 0, 16, 40], jnp.int32)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    ga = quant_gmm_int8(x, qa["qw"], qa["scale"], gs, interpret=True)
+    gb = quant_gmm_int8(x, qb["qw"], qb["scale"], gs, interpret=True)
+    pa, pb = quant_gmm_int8_pair(x, qa["qw"], qa["scale"],
+                                 qb["qw"], qb["scale"], gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(ga), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(gb), rtol=1e-5, atol=1e-5)
+
+
 def test_quant_gmm_pair_matches_singles():
     from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
 
