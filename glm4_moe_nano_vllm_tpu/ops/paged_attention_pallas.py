@@ -4,24 +4,28 @@ TPU-native replacement for the reference's ``flash_attn_with_kvcache`` CUDA
 call (`/root/reference/nanovllm/layers/attention.py:105-107`): one query token
 per sequence attends over its paged KV context addressed by a block table.
 
-Design (per SURVEY §7 "hard parts" #2). Decode is HBM-bandwidth bound, so the
-whole kernel is organized around keeping page DMAs in flight **across** grid
-steps, not just within one sequence:
+Design (per SURVEY §7 "hard parts" #2). Decode is HBM-latency bound at serving
+batch sizes — each sequence touches only a few KV pages — so the kernel is
+organized to amortize per-grid-step and per-DMA overhead:
 
-  * grid = (batch, kv_head, kv_chunk): the flash loop over KV chunks is a
-    grid dimension; the running softmax state (m, l, unnormalized acc) lives
-    in VMEM scratch, re-initialized when chunk == 0, and the normalized
-    output is written at each sequence's last chunk;
-  * every step prefetches the *next schedulable* (seq, head, chunk)'s pages
-    into the alternate buffer — including across sequence/head boundaries
-    and skipping finished or empty sequences — so the DMA engine never
-    drains between grid steps (the lookahead-skip structure follows the
-    public JAX paged-attention kernel's pipelining scheme);
+  * grid = (batch, kv_chunk): **all KV heads of a sequence are processed in
+    one instance** — the head-major cache layout [Hkv, NB, bs, D] lets one
+    *strided* DMA fetch a page across every head (``k_hbm.at[:, page]`` →
+    [Hkv, bs, D]), cutting both DMA count and grid size Hkv-fold vs a
+    per-head grid;
+  * the flash loop over KV chunks is a grid dimension; running softmax state
+    (m, l, unnormalized acc per head) lives in VMEM scratch, re-initialized
+    at chunk == 0, normalized output written at each sequence's last chunk;
+    chunks past a sequence's context length are skipped, so short sequences
+    read only ceil(len / chunk) pages, not the padded table capacity (the
+    XLA gather fallback always reads full capacity);
+  * every step prefetches the *next schedulable* (seq, chunk)'s pages into
+    the alternate buffer — across sequence boundaries, skipping empty
+    (padded) sequences — so the DMA engine never drains between grid steps
+    (the lookahead-skip structure follows the public JAX paged-attention
+    kernel's pipelining scheme);
   * block tables + context lengths are scalar-prefetched into SMEM;
     buffer-index and first-step flags are tiny mutable SMEM inputs;
-  * KV pages are contiguous [bs, D] slabs per (head, page) thanks to the
-    head-major cache layout [Hkv, NB, bs, D] (ops/kv_cache.py); ``bpc``
-    pages are fetched per chunk (~512 tokens) to amortize DMA latency;
   * padded sequences (context_len == 0) produce zeroed output rows.
 """
 
@@ -38,14 +42,15 @@ NEG_INF = -1e30
 
 
 class _ChunkCopy:
-    """Async copy of ``bpc`` KV pages (one head) into a VMEM chunk buffer."""
+    """Async copy of ``bpc`` KV pages (all heads per page) into VMEM."""
 
-    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc, head):
+    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc):
         self.copies = []
         for j in range(bpc):
             page = pi_ref[page_offset + j]
+            # [Hkv, bs, D] strided slab: one descriptor covers every head
             self.copies.append(
-                pltpu.make_async_copy(hbm_ref.at[head, page], buf.at[j], sem)
+                pltpu.make_async_copy(hbm_ref.at[:, page], buf.at[:, j], sem)
             )
 
     def start(self):
@@ -64,16 +69,16 @@ def _decode_kernel(
     buf_ref,  # [1] int32 current buffer slot (mutable)
     init_ref,  # [1] int32 first-executed-step flag (mutable)
     # inputs
-    q_ref,  # [1, 1, G, D] VMEM
+    q_ref,  # [1, Hkv, G, D] VMEM
     k_hbm,  # [Hkv, NB, bs, D] ANY
     v_hbm,
     # output
-    o_ref,  # [1, 1, G, D]
+    o_ref,  # [1, Hkv, G, D]
     # scratch
-    m_scr,  # [G, 1] f32
-    l_scr,  # [G, 1] f32
-    acc_scr,  # [G, D] f32
-    k_buf,  # [2, bpc, bs, D]
+    m_scr,  # [Hkv, G, 1] f32
+    l_scr,  # [Hkv, G, 1] f32
+    acc_scr,  # [Hkv, G, D] f32
+    k_buf,  # [2, Hkv, bpc, bs, D]
     v_buf,
     sems,  # [2, 2] DMA semaphores
     *,
@@ -82,23 +87,21 @@ def _decode_kernel(
     bpc: int,
     maxb: int,
     batch: int,
-    n_kv_heads: int,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
     chunk = block_size * bpc
     length = len_ref[b]
 
-    def copies_for(b_, h_, i_, slot):
+    def copies_for(b_, i_, slot):
         off = b_ * maxb + i_ * bpc
-        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off, bpc, h_)
-        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off, bpc, h_)
+        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off, bpc)
+        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off, bpc)
         return ck, cv
 
-    def next_indices(b_, h_, i_):
-        """First schedulable (b, h, i) at or after the given one (scan i→h→b,
-        skipping sequences with no chunks left and empty sequences)."""
+    def next_indices(b_, i_):
+        """First schedulable (b, i) at or after the given one (scan i→b,
+        skipping finished and empty/padded sequences)."""
 
         def adv_b():
             nb = jax.lax.while_loop(
@@ -108,18 +111,12 @@ def _decode_kernel(
                 lambda x: x + 1,
                 b_ + 1,
             )
-            return nb, 0, 0
-
-        def adv_h():
-            nh = h_ + 1
-            return jax.lax.cond(
-                nh < n_kv_heads, lambda: (b_, nh, 0), adv_b
-            )
+            return nb, 0
 
         return jax.lax.cond(
             i_ * chunk < len_ref[jax.lax.clamp(0, b_, batch - 1)],
-            lambda: (b_, h_, i_),
-            adv_h,
+            lambda: (b_, i_),
+            adv_b,
         )
 
     @pl.when(i == 0)
@@ -135,32 +132,34 @@ def _decode_kernel(
 
         @pl.when(init_ref[0] == 1)
         def _():
-            ck, cv = copies_for(b, h, i, buf)
+            ck, cv = copies_for(b, i, buf)
             ck.start()
             cv.start()
 
         init_ref[0] = 0
 
-        nb, nh, ni = next_indices(b, h, i + 1)
+        nb, ni = next_indices(b, i + 1)
 
         @pl.when(nb < batch)
         def _():
             nbuf = 1 - buf
-            ck, cv = copies_for(nb, nh, ni, nbuf)
+            ck, cv = copies_for(nb, ni, nbuf)
             ck.start()
             cv.start()
 
         # flip only when a prefetch was actually issued
         buf_ref[0] = jnp.where(nb < batch, 1 - buf, buf)
 
-        ck, cv = copies_for(b, h, i, buf)
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [G, D]
+        ck, cv = copies_for(b, i, buf)
+        q = q_ref[0].astype(jnp.float32) * sm_scale  # [Hkv, G, D]
         ck.wait()
-        k = k_buf[buf].reshape(chunk, -1).astype(jnp.float32)
+        hkv = q.shape[0]
+        k = k_buf[buf].reshape(hkv, chunk, -1).astype(jnp.float32)
+        # [Hkv, G, chunk] batched over heads
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, chunk]
-        pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
@@ -169,15 +168,15 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         cv.wait()
-        v = v_buf[buf].reshape(chunk, -1).astype(jnp.float32)
-        acc_new = acc_scr[...] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+        v = v_buf[buf].reshape(hkv, chunk, -1).astype(jnp.float32)
+        acc_new = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         m_scr[...], l_scr[...], acc_scr[...] = m_new, l_new, acc_new
 
         @pl.when((i + 1) * chunk >= length)
         def _():
-            o_ref[0, 0] = (
+            o_ref[0] = (
                 acc_new / jnp.maximum(l_new, 1e-30)
             ).astype(o_ref.dtype)
 
@@ -197,26 +196,29 @@ def paged_attention_decode(
     assert hq % hkv == 0
     g = hq // hkv
     maxb = block_tables.shape[1]
-    # pages per compute chunk: target ~512-token chunks, capped by the table
-    bpc = max(1, min(maxb, 512 // bs))
+    # pages per compute chunk: ~256-token chunks bound wasted reads past each
+    # sequence's length while keeping the page DMAs per grid step batched
+    bpc = max(1, min(maxb, 256 // bs))
+    while maxb % bpc:  # partial tail chunks would read past the block table
+        bpc -= 1
     cmax = pl.cdiv(maxb, bpc)
 
     q4 = q.reshape(b, hkv, g, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, hkv, cmax),
+        grid=(b, cmax),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda i, j, c, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, hkv, g, d), lambda i, c, *_: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, c, *_: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, c, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
-            pltpu.VMEM((2, bpc, bs, d), k_cache.dtype),
-            pltpu.VMEM((2, bpc, bs, d), v_cache.dtype),
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.VMEM((2, hkv, bpc, bs, d), k_cache.dtype),
+            pltpu.VMEM((2, hkv, bpc, bs, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -228,12 +230,11 @@ def paged_attention_decode(
             bpc=bpc,
             maxb=maxb,
             batch=b,
-            n_kv_heads=hkv,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(
