@@ -164,6 +164,11 @@ class Config:
     # --- TPU-specific additions ---
     data_parallel_size: int = 1
     expert_parallel_size: int = 1  # resolved at runner init (reported, not set)
+    # pipeline parallelism: layer stages over the pp mesh axis (the layer
+    # count of the pipelined stack must divide evenly). 0 microbatches =
+    # one per stage; more microbatches shrink the pipeline bubble.
+    pipeline_parallel_size: int = 1
+    pp_microbatches: int = 0
     # MoE sharding over the tp axis: "ep" = experts sharded on E (full-Im
     # grouped matmul per device, ops/moe.py moe_experts_ep), "im" = expert
     # intermediate dim sharded, "auto" = ep when n_routed_experts % tp == 0.

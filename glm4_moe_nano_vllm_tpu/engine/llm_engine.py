@@ -48,11 +48,13 @@ class LLMEngine:
 
         self.config = config
         mesh = None
-        if config.tensor_parallel_size * config.data_parallel_size > 1:
+        if (config.tensor_parallel_size * config.data_parallel_size
+                * config.pipeline_parallel_size > 1):
             from glm4_moe_nano_vllm_tpu.parallel.sharding import make_mesh
 
             mesh = make_mesh(dp=config.data_parallel_size,
-                             tp=config.tensor_parallel_size)
+                             tp=config.tensor_parallel_size,
+                             pp=config.pipeline_parallel_size)
         self.model_runner = ModelRunner(config, mesh=mesh)
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()

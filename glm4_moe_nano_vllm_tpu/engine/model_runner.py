@@ -90,22 +90,42 @@ class ModelRunner:
                 validate_model_for_mesh,
             )
 
-            moe_ep = resolve_moe_parallel(mc, mesh.shape["tp"], config.moe_parallel)
+            pp = mesh.shape.get("pp", 1)
+            moe_ep = resolve_moe_parallel(
+                mc, mesh.shape["tp"], config.moe_parallel, pp
+            )
             replicate_kv = validate_model_for_mesh(mc, mesh.shape["tp"], moe_ep)
             config.expert_parallel_size = mesh.shape["tp"] if moe_ep else 1
             self.model.mesh = mesh
-            self.model.moe_ep = moe_ep
+            if mc.is_moe:
+                self.model.moe_ep = moe_ep
+            pp_stack = None
+            pp_cache_keys = ()
+            if pp > 1:
+                assert self.model.pipeline_stack_size % pp == 0, (
+                    self.model.pipeline_stack_size, pp,
+                )
+                self.model.pp = pp
+                self.model.pp_microbatches = config.pp_microbatches
+                pp_stack = self.model.pipeline_stack
+                pp_cache_keys = self.model.pipeline_cache_keys
             self.params = shard_tree(
-                self.params, param_specs(self.params, replicate_kv, moe_ep), mesh
+                self.params,
+                param_specs(self.params, replicate_kv, moe_ep, pp_stack),
+                mesh,
             )
             self.caches = shard_tree(
-                self.caches, cache_specs(self.caches, replicate_kv), mesh
+                self.caches, cache_specs(self.caches, replicate_kv, pp_cache_keys),
+                mesh,
             )
             self._batch_shardings = jax.tree.map(
                 lambda s: NamedSharding(mesh, s), batch_specs(None)
             )
-            # batch buckets must be divisible by dp (power-of-two ladders)
-            self._min_bucket = mesh.shape["dp"]
+            # batch buckets must be divisible by dp (and by the microbatch
+            # grid dp·num_mb when pipelining)
+            self._min_bucket = mesh.shape["dp"] * (
+                (config.pp_microbatches or pp) if pp > 1 else 1
+            )
         self.block_size = config.kvcache_block_size
         # Block-table bucket ladder. Default: one full-size bucket — the
         # Pallas kernels bound their loops by context_len, so padding the
@@ -217,7 +237,9 @@ class ModelRunner:
         else:
             b = bucket_of(len(seqs), cfg.decode_buckets)
             s = 1
-        b = max(b, self._min_bucket)
+        # round up to the dp (× pp-microbatch) grid
+        m = self._min_bucket
+        b = -(-max(b, m) // m) * m
 
         window = 0 if batch.is_prefill else batch.num_steps - 1
         max_ctx_blocks = max(

@@ -44,6 +44,13 @@ class Glm4MoeForCausalLM:
         # set by ModelRunner when running sharded; EP shards experts on E
         self.mesh = None
         self.moe_ep = False
+        # pipeline parallelism: the MoE stack is the pipelined stage stack
+        # (dense first-k layers are replicated — ~1/46 of the model)
+        self.pp = 1
+        self.pp_microbatches = 0
+        self.pipeline_stack = "moe_layers"
+        self.pipeline_cache_keys = ("moe_k", "moe_v")
+        self.pipeline_stack_size = self.num_moe
 
     # ---- parameters ------------------------------------------------------
 
@@ -133,9 +140,8 @@ class Glm4MoeForCausalLM:
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
         x = embed(batch.token_ids, params["embed"])
-        b, s, h = x.shape
 
-        def dense_body(x, xs):
+        def dense_body(x, xs, batch):
             lp, kc, vc = xs
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
@@ -144,8 +150,9 @@ class Glm4MoeForCausalLM:
             x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
             return x, (kc, vc)
 
-        def moe_body(x, xs):
+        def moe_body(x, xs, batch):
             lp, kc, vc = xs
+            b, s, h = x.shape
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
             x = x + a
@@ -176,13 +183,30 @@ class Glm4MoeForCausalLM:
         new_caches = dict(caches)
         if self.num_dense > 0:
             x, (kd, vd) = jax.lax.scan(
-                dense_body, x,
+                lambda c, xs: dense_body(c, xs, batch), x,
                 (params["dense_layers"], caches["dense_k"], caches["dense_v"]),
             )
             new_caches["dense_k"], new_caches["dense_v"] = kd, vd
-        x, (km, vm) = jax.lax.scan(
-            moe_body, x, (params["moe_layers"], caches["moe_k"], caches["moe_v"])
-        )
+        if self.pp > 1:
+            from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
+
+            def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
+                x_out, (kc, vc) = jax.lax.scan(
+                    lambda c, xs: moe_body(c, xs, batch_mb),
+                    x_mb, (lp_local, kc_local, vc_local),
+                )
+                return x_out, kc, vc
+
+            x, km, vm = pipeline_forward(
+                self.mesh, stage_fn, x, params["moe_layers"],
+                caches["moe_k"], caches["moe_v"], batch,
+                num_mb=self.pp_microbatches,
+            )
+        else:
+            x, (km, vm) = jax.lax.scan(
+                lambda c, xs: moe_body(c, xs, batch), x,
+                (params["moe_layers"], caches["moe_k"], caches["moe_v"]),
+            )
         new_caches["moe_k"], new_caches["moe_v"] = km, vm
 
         if return_hidden:

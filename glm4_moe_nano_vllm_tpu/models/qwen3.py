@@ -30,6 +30,13 @@ class Qwen3ForCausalLM:
         assert not cfg.is_moe
         self.cfg = cfg
         self.dtype = dtype
+        # set by ModelRunner when running sharded
+        self.mesh = None
+        self.pp = 1
+        self.pp_microbatches = 0
+        self.pipeline_stack = "layers"
+        self.pipeline_cache_keys = ("k", "v")
+        self.pipeline_stack_size = cfg.num_layers
 
     # ---- parameters ------------------------------------------------------
 
@@ -83,7 +90,7 @@ class Qwen3ForCausalLM:
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
         x = embed(batch.token_ids, params["embed"])
 
-        def body(x, xs):
+        def body(x, xs, batch):
             lp, kc, vc = xs
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq)
@@ -92,9 +99,26 @@ class Qwen3ForCausalLM:
             x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
             return x, (kc, vc)
 
-        x, (k_new, v_new) = jax.lax.scan(
-            body, x, (params["layers"], caches["k"], caches["v"])
-        )
+        if self.pp > 1:
+            from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
+
+            def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
+                x_out, (kc, vc) = jax.lax.scan(
+                    lambda c, xs: body(c, xs, batch_mb),
+                    x_mb, (lp_local, kc_local, vc_local),
+                )
+                return x_out, kc, vc
+
+            x, k_new, v_new = pipeline_forward(
+                self.mesh, stage_fn, x, params["layers"],
+                caches["k"], caches["v"], batch,
+                num_mb=self.pp_microbatches,
+            )
+        else:
+            x, (k_new, v_new) = jax.lax.scan(
+                lambda c, xs: body(c, xs, batch), x,
+                (params["layers"], caches["k"], caches["v"]),
+            )
         if return_hidden:
             return x, {"k": k_new, "v": v_new}
         lm_head = params.get("lm_head")

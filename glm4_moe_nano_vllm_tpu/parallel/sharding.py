@@ -27,12 +27,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """(dp, pp, tp) device mesh. tp is innermost so its collectives ride the
+    fastest ICI links; pp stages exchange only one activation per tick."""
     if devices is None:
         devices = jax.devices()
-    assert dp * tp <= len(devices), (dp, tp, len(devices))
-    dev = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(dev, axis_names=("dp", "tp"))
+    assert dp * pp * tp <= len(devices), (dp, pp, tp, len(devices))
+    dev = np.asarray(devices[: dp * pp * tp]).reshape(dp, pp, tp)
+    return Mesh(dev, axis_names=("dp", "pp", "tp"))
 
 
 # leaf name → PartitionSpec *for the trailing dims* (leading stacked-layer /
@@ -110,7 +112,12 @@ def _spec_for(path: tuple, leaf, rules=None) -> P:
 _KV_LEAVES = ("wk", "wv", "bk", "bv")
 
 
-def param_specs(params, replicate_kv: bool = False, moe_ep: bool = False) -> dict:
+def param_specs(
+    params,
+    replicate_kv: bool = False,
+    moe_ep: bool = False,
+    pp_stack: str | None = None,
+) -> dict:
     """PartitionSpec pytree matching a model's parameter tree.
 
     ``replicate_kv``: when tp > num_kv_heads, K/V projections (and the KV
@@ -119,27 +126,43 @@ def param_specs(params, replicate_kv: bool = False, moe_ep: bool = False) -> dic
 
     ``moe_ep``: shard routed-expert stacks on the expert dim (expert
     parallelism over the tp axis) instead of the intermediate dim.
+
+    ``pp_stack``: name of the top-level layer-stacked subtree whose leading
+    (layer) dim is sharded over the ``pp`` axis (pipeline parallelism).
     """
     rules = {**_RULES, **_EP_RULES} if moe_ep else _RULES
 
     def spec(path, leaf):
+        s = None
         if replicate_kv:
             names = [p.key if hasattr(p, "key") else str(p) for p in path]
             if any(n in _KV_LEAVES for n in names):
-                return P()
-        return _spec_for(path, leaf, rules)
+                s = P()
+        if s is None:
+            s = _spec_for(path, leaf, rules)
+        if pp_stack is not None:
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            if top == pp_stack:
+                dims = list(s) + [None] * (leaf.ndim - len(s))
+                assert dims[0] is None, (path, s)
+                dims[0] = "pp"
+                s = P(*dims)
+        return s
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def cache_specs(caches, replicate_kv: bool = False) -> dict:
-    """KV caches: [L, H_kv, num_blocks, block_size, D] → heads on tp."""
+def cache_specs(caches, replicate_kv: bool = False, pp_keys: tuple = ()) -> dict:
+    """KV caches: [L, H_kv, num_blocks, block_size, D] → heads on tp; stacks
+    named in ``pp_keys`` additionally shard the layer dim over pp."""
 
     def spec(path, leaf):
         assert leaf.ndim == 5
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        lead = "pp" if name in pp_keys else None
         if replicate_kv:
-            return P()
-        return P(None, "tp", None, None, None)
+            return P(lead, None, None, None, None)
+        return P(lead, "tp", None, None, None)
 
     return jax.tree_util.tree_map_with_path(spec, caches)
 
@@ -186,9 +209,14 @@ def validate_model_for_mesh(cfg, tp: int, moe_ep: bool = False) -> bool:
     return replicate_kv
 
 
-def resolve_moe_parallel(cfg, tp: int, knob: str = "auto") -> bool:
+def resolve_moe_parallel(cfg, tp: int, knob: str = "auto", pp: int = 1) -> bool:
     """Pick the MoE sharding mode: "ep" (experts over tp, full-Im GMM),
     "im" (intermediate over tp), or "auto" (ep when divisible)."""
+    if pp > 1:
+        # inside the manual-pp pipeline region the MoE runs compiler-sharded
+        # (GSPMD) — the explicit shard_map EP path would nest manual regions
+        assert knob != "ep", "moe_parallel='ep' is not supported with pp > 1"
+        return False
     if not cfg.is_moe or tp <= 1:
         return False
     can_ep = cfg.n_routed_experts % tp == 0
