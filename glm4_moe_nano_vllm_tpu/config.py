@@ -178,6 +178,10 @@ class Config:
     enable_prefix_caching: bool = True
     enable_chunked_prefill: bool = True
     prefill_chunk_size: int = 4096  # max new tokens prefilled per step per seq
+    # sequence-parallel prefill: schedule up to this many chunks of ONE prompt
+    # as sibling rows of the same step (rows are dp-sharded, so a long prompt
+    # prefills across the dp axis in one program). 1 = one chunk per step.
+    prefill_sp_degree: int = 1
     decode_buckets: tuple = DEFAULT_DECODE_BUCKETS
     prefill_seq_buckets: tuple = DEFAULT_PREFILL_SEQ_BUCKETS
     prefill_len_buckets: tuple = DEFAULT_PREFILL_LEN_BUCKETS

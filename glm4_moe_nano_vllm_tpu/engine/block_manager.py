@@ -20,8 +20,6 @@ reference would schedule an empty prefill in that case.
 
 from __future__ import annotations
 
-from collections import deque
-
 import numpy as np
 import xxhash
 
@@ -55,14 +53,20 @@ class BlockManager:
         self.enable_prefix_caching = enable_prefix_caching
         self.blocks = [Block(i) for i in range(num_blocks)]
         self.hash_to_block_id: dict[int, int] = {}
-        # Free list is FIFO; evicted-but-cached blocks stay in the hash map and
-        # can be resurrected until their id is re-allocated.
-        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        # Free "list" is an insertion-ordered dict (FIFO eviction of cached
+        # blocks, like the reference's deque) with O(1) removal by id — a
+        # deque's .remove() is O(n), which bites at 100k+ HBM blocks.
+        # Evicted-but-cached blocks stay in the hash map and can be
+        # resurrected until their id is re-allocated.
+        self.free_block_ids: dict[int, None] = dict.fromkeys(range(num_blocks))
         self.used_block_ids: set[int] = set()
 
     @property
     def num_free_blocks(self) -> int:
         return len(self.free_block_ids)
+
+    def _pop_free_id(self) -> int:
+        return next(iter(self.free_block_ids))
 
     def _take_block(self, block_id: int) -> Block:
         block = self.blocks[block_id]
@@ -70,14 +74,14 @@ class BlockManager:
         block.ref_count = 1
         block.hash = -1
         block.token_ids = []
-        self.free_block_ids.remove(block_id)
+        del self.free_block_ids[block_id]
         self.used_block_ids.add(block_id)
         return block
 
     def _release_block(self, block_id: int) -> None:
         assert self.blocks[block_id].ref_count == 0
         self.used_block_ids.remove(block_id)
-        self.free_block_ids.append(block_id)
+        self.free_block_ids[block_id] = None
 
     def can_allocate(self, seq: Sequence) -> bool:
         return self.num_free_blocks >= seq.num_blocks
@@ -104,7 +108,7 @@ class BlockManager:
                 block_id = cached_id
             else:
                 cache_hit = False  # a miss breaks the chain for later blocks
-                block_id = self.free_block_ids[0]
+                block_id = self._pop_free_id()
                 block = self._take_block(block_id)
                 if full and self.enable_prefix_caching:
                     block.hash = prefix_hash
@@ -143,7 +147,7 @@ class BlockManager:
     def may_append(self, seq: Sequence, n_tokens: int = 1) -> None:
         """Extend the block table to cover an n-token decode window."""
         for _ in range(self.blocks_needed(seq, n_tokens)):
-            block_id = self.free_block_ids[0]
+            block_id = self._pop_free_id()
             self._take_block(block_id)
             seq.block_table.append(block_id)
 

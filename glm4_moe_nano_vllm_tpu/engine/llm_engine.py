@@ -101,7 +101,12 @@ class LLMEngine:
         self.metrics.on_step(batch.is_prefill, batch.num_tokens,
                              time.perf_counter() - t0)
         outputs = []
+        seen = set()
         for seq in batch.seqs:
+            # sequence-parallel prefill may schedule one seq as several rows
+            if seq.seq_id in seen:
+                continue
+            seen.add(seq.seq_id)
             if seq.num_completion_tokens == 1:
                 self.metrics.on_first_token(seq.seq_id)
             if seq.is_finished:

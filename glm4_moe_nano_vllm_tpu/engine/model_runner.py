@@ -241,11 +241,11 @@ class ModelRunner:
         m = self._min_bucket
         b = -(-max(b, m) // m) * m
 
+        starts = batch.q_starts or [seq.num_computed_tokens for seq in seqs]
         window = 0 if batch.is_prefill else batch.num_steps - 1
         max_ctx_blocks = max(
-            (seq.num_computed_tokens + q + window + self.block_size - 1)
-            // self.block_size
-            for seq, q in zip(seqs, q_lens)
+            (start + q + window + self.block_size - 1) // self.block_size
+            for start, q in zip(starts, q_lens)
         )
         mb = bucket_of(max_ctx_blocks, self.block_buckets)
 
@@ -257,8 +257,7 @@ class ModelRunner:
         last_q_idx = np.zeros((b,), np.int32)
         temperatures = np.zeros((b,), np.float32)
 
-        for i, (seq, q) in enumerate(zip(seqs, q_lens)):
-            start = seq.num_computed_tokens
+        for i, (seq, q, start) in enumerate(zip(seqs, q_lens, starts)):
             token_ids[i, :q] = seq.token_ids[start:start + q]
             pos = np.arange(start, start + q, dtype=np.int32)
             positions[i, :q] = pos

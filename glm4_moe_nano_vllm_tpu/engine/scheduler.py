@@ -35,6 +35,10 @@ class ScheduledBatch:
     # decode window: tokens generated per sequence in one device program
     # (multi-step scheduling amortizes the host<->device round trip)
     num_steps: int = 1
+    # per-row absolute start position (sequence-parallel prefill schedules
+    # several chunks of one prompt as sibling rows in the same step; rows of
+    # the same seq then have different starts). None = num_computed_tokens.
+    q_starts: list[int] | None = None
 
     @property
     def num_tokens(self) -> int:
@@ -53,6 +57,7 @@ class Scheduler:
         self.eos = config.eos
         self.max_model_len = config.max_model_len
         self.num_decode_steps = config.num_scheduler_steps
+        self.prefill_sp_degree = max(1, config.prefill_sp_degree)
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -76,18 +81,35 @@ class Scheduler:
         # ---- prefill phase -------------------------------------------------
         scheduled: list[Sequence] = []
         q_lens: list[int] = []
+        q_starts: list[int] = []
         budget = self.max_num_batched_tokens
+
+        def emit_rows(seq, budget):
+            """Schedule up to ``prefill_sp_degree`` chunk rows of one prompt in
+            this step (sequence-parallel prefill: sibling rows attend each
+            other's same-step KV writes via the global-position causal mask,
+            and dp shards rows over devices)."""
+            start = seq.num_computed_tokens
+            remaining = seq.num_remaining_tokens
+            rows = 0
+            while (remaining > 0 and budget > 0 and rows < self.prefill_sp_degree
+                   and len(scheduled) < self.max_num_seqs):
+                q = min(remaining, self.prefill_chunk_size, budget)
+                scheduled.append(seq)
+                q_lens.append(q)
+                q_starts.append(start)
+                start += q
+                remaining -= q
+                budget -= q
+                rows += 1
+            return budget
 
         # Continuation chunks for partially-prefilled running seqs first.
         for seq in self.running:
             if len(scheduled) >= self.max_num_seqs or budget <= 0:
                 break
             if not seq.prompt_done:
-                q = min(seq.num_remaining_tokens, self.prefill_chunk_size, budget)
-                if q > 0:
-                    scheduled.append(seq)
-                    q_lens.append(q)
-                    budget -= q
+                budget = emit_rows(seq, budget)
 
         # Fresh admissions from the waiting queue (FCFS).
         while self.waiting and len(self.running) < self.max_num_seqs and len(scheduled) < self.max_num_seqs:
@@ -100,15 +122,13 @@ class Scheduler:
                 break
             self.block_manager.allocate(seq)
             # prefix-cache hits shrink this chunk's query span
-            q = min(seq.num_remaining_tokens, self.prefill_chunk_size, budget)
             seq.status = SequenceStatus.RUNNING
             self.waiting.popleft()
             self.running.append(seq)
-            scheduled.append(seq)
-            q_lens.append(q)
-            budget -= q
+            budget = emit_rows(seq, budget)
         if scheduled:
-            return ScheduledBatch(scheduled, is_prefill=True, q_lens=q_lens)
+            return ScheduledBatch(scheduled, is_prefill=True, q_lens=q_lens,
+                                  q_starts=q_starts)
 
         # ---- decode phase --------------------------------------------------
         # Window size: the largest power-of-two (bounded compile set) that
