@@ -81,3 +81,29 @@ t_palp = bench(palp_fn, qp, k_cache, v_cache, bt, ctx, q_lens)
 t_refp = bench(refp_fn, qp, k_cache, v_cache, bt, ctx, positions_p)
 print(f"prefill(SQ={SQ}): ref {t_refp*1e6:.0f}us  pallas {t_palp*1e6:.0f}us  "
       f"speedup {t_refp/t_palp:.2f}x")
+
+# ---- KV write kernel (compiled, bit-exact vs XLA scatter) -------------------
+from glm4_moe_nano_vllm_tpu.ops.kv_cache import write_kv
+from glm4_moe_nano_vllm_tpu.ops.kv_write_pallas import write_kv_pallas
+
+S_W = 100
+starts_w = rng.integers(0, 300, size=B).astype(np.int32)
+qs_w = rng.integers(0, S_W + 1, size=B).astype(np.int32)
+starts_w[0], qs_w[0] = 0, 0  # padded row
+kn = jnp.asarray(rng.normal(size=(B * S_W, HKV, D)), jnp.bfloat16)
+vn = jnp.asarray(rng.normal(size=(B * S_W, HKV, D)), jnp.bfloat16)
+slots_w = np.full((B, S_W), -1, np.int64)
+for i in range(B):
+    for r_ in range(qs_w[i]):
+        p = starts_w[i] + r_
+        slots_w[i, r_] = int(bt[i, p // BS]) * BS + p % BS
+k1, v1 = write_kv(k_cache, v_cache, kn, vn, jnp.asarray(slots_w.reshape(-1), jnp.int32))
+k2, v2 = write_kv_pallas(k_cache, v_cache, kn, vn, bt,
+                         jnp.asarray(starts_w), jnp.asarray(starts_w + qs_w))
+assert bool(jnp.all(k1 == k2)) and bool(jnp.all(v1 == v2)), "kv write mismatch"
+print("kv write kernel: bit-exact vs XLA scatter")
+
+wr_pal = jax.jit(lambda kc, vc: write_kv_pallas(
+    kc, vc, kn, vn, bt, jnp.asarray(starts_w), jnp.asarray(starts_w + qs_w)))
+t_wr = bench(wr_pal, k_cache, v_cache)
+print(f"kv write ({int(qs_w.sum())} rows): pallas {t_wr*1e6:.0f}us")

@@ -207,6 +207,15 @@ class Config:
             self.max_model_len, self.model_config.max_position_embeddings
         )
         assert self.max_num_batched_tokens >= self.prefill_chunk_size
+        # SP sibling chunk rows must land on block boundaries: the Pallas
+        # KV-write kernel RMWs whole blocks, and two same-step rows sharing a
+        # block would race within a DMA group (ops/kv_write_pallas.py).
+        if self.prefill_sp_degree > 1:
+            assert self.prefill_chunk_size % self.kvcache_block_size == 0, (
+                "prefill_chunk_size must be a multiple of kvcache_block_size "
+                "when prefill_sp_degree > 1",
+                self.prefill_chunk_size, self.kvcache_block_size,
+            )
         if self.eos == -1:
             self.eos = self.model_config.eos_token_id
         # Bucket ladders must cover the config's extremes (a clamped bucket

@@ -92,9 +92,17 @@ class Scheduler:
             start = seq.num_computed_tokens
             remaining = seq.num_remaining_tokens
             rows = 0
+            bs = self.block_manager.block_size
             while (remaining > 0 and budget > 0 and rows < self.prefill_sp_degree
                    and len(scheduled) < self.max_num_seqs):
                 q = min(remaining, self.prefill_chunk_size, budget)
+                if self.prefill_sp_degree > 1 and q < remaining:
+                    # non-final sibling chunks must end on a block boundary:
+                    # same-step rows may not share a KV block (the Pallas
+                    # write kernel RMWs whole blocks; see config.py assert)
+                    q = q // bs * bs
+                    if q == 0:
+                        break
                 scheduled.append(seq)
                 q_lens.append(q)
                 q_starts.append(start)

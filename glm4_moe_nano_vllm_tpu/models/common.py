@@ -47,15 +47,18 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
 def attention_block(
     x: jax.Array,  # [B, S, hidden]
     lp: Params,  # one layer's attention params
-    k_cache: jax.Array,  # [num_blocks, bs, H_kv, D]
+    k_cache: jax.Array,  # [H_kv, L*num_blocks, bs, D] layer-flat paged cache
     v_cache: jax.Array,
     batch: BatchInfo,
     cfg: ModelConfig,
     inv_freq: jax.Array,
+    layer_idx: jax.Array,  # scalar int32: this layer's slab in the flat cache
+    num_blocks: int,  # blocks per layer (static)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     b, s, _ = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rotary_dim = int(d * cfg.partial_rotary_factor)
+    block_size = k_cache.shape[2]
 
     q = linear(x, lp["wq"], lp.get("bq")).reshape(b, s, nq, d)
     k = linear(x, lp["wk"], lp.get("bk")).reshape(b, s, nkv, d)
@@ -67,15 +70,38 @@ def attention_block(
 
     q, k = apply_rope(q, k, batch.positions, inv_freq, rotary_dim)
 
-    k_cache, v_cache = write_kv(
-        k_cache, v_cache,
-        k.reshape(b * s, nkv, d), v.reshape(b * s, nkv, d),
-        batch.slot_mapping,
-    )
+    # All layers share one flat cache (blocks of layer l live at
+    # [l*num_blocks, (l+1)*num_blocks)); the cache is a scan *carry*, updated
+    # in place. On TPU the write is a Pallas RMW kernel with input/output
+    # aliasing — the XLA scatter prefers a token-major cache layout that
+    # conflicts with the attention kernels' head-major layout, forcing
+    # full-cache layout-conversion copies every layer (measured ~40x decode
+    # slowdown at 1.6 GB cache).
+    block_tables = batch.block_tables + layer_idx * num_blocks
+    from glm4_moe_nano_vllm_tpu.ops.attention import _use_pallas
+
+    if _use_pallas() and d % 128 == 0:
+        from glm4_moe_nano_vllm_tpu.ops.kv_write_pallas import write_kv_pallas
+
+        k_cache, v_cache = write_kv_pallas(
+            k_cache, v_cache,
+            k.reshape(b * s, nkv, d), v.reshape(b * s, nkv, d),
+            block_tables, batch.positions[:, 0], batch.context_lens,
+        )
+    else:
+        slots = jnp.where(
+            batch.slot_mapping < 0, -1,
+            batch.slot_mapping + layer_idx * (num_blocks * block_size),
+        )
+        k_cache, v_cache = write_kv(
+            k_cache, v_cache,
+            k.reshape(b * s, nkv, d), v.reshape(b * s, nkv, d),
+            slots,
+        )
 
     o = paged_attention(
         q, k_cache, v_cache,
-        batch.block_tables, batch.context_lens, batch.positions,
+        block_tables, batch.context_lens, batch.positions,
         sm_scale=1.0 / math.sqrt(d),
     )
     out = linear(o.reshape(b, s, nq * d), lp["wo"])

@@ -123,10 +123,12 @@ class Glm4MoeForCausalLM:
         cfg = self.cfg
         dt = kv_dtype or self.dtype
         kd, hd = cfg.num_kv_heads, cfg.head_dim
+        self.num_blocks = num_blocks
 
         def zeros(n):
-            # head-major paged layout, see ops/kv_cache.py
-            return jnp.zeros((n, kd, num_blocks, block_size, hd), dt)
+            # head-major, layer-flat paged layout (layer l's blocks at
+            # [l*num_blocks, (l+1)*num_blocks)), see ops/kv_cache.py
+            return jnp.zeros((kd, n * num_blocks, block_size, hd), dt)
 
         return {
             "dense_k": zeros(self.num_dense), "dense_v": zeros(self.num_dense),
@@ -141,20 +143,26 @@ class Glm4MoeForCausalLM:
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
         x = embed(batch.token_ids, params["embed"])
 
-        def dense_body(x, xs, batch):
-            lp, kc, vc = xs
+        nb = self.num_blocks
+
+        def dense_body(carry, xs, batch):
+            x, kc, vc = carry
+            lp, li = xs
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
+            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
+                                        li, nb)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
-            return x, (kc, vc)
+            return (x, kc, vc), None
 
-        def moe_body(x, xs, batch):
-            lp, kc, vc = xs
+        def moe_body(carry, xs, batch):
+            x, kc, vc = carry
+            lp, li = xs
             b, s, h = x.shape
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq)
+            a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
+                                        li, nb)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             flat = hh.reshape(b * s, h)
@@ -178,22 +186,26 @@ class Glm4MoeForCausalLM:
                 flat, lp["shared_gate"], lp["shared_up"], lp["shared_down"]
             )
             x = x + (routed + shared).reshape(b, s, h)
-            return x, (kc, vc)
+            return (x, kc, vc), None
 
         new_caches = dict(caches)
         if self.num_dense > 0:
-            x, (kd, vd) = jax.lax.scan(
-                lambda c, xs: dense_body(c, xs, batch), x,
-                (params["dense_layers"], caches["dense_k"], caches["dense_v"]),
+            (x, kd, vd), _ = jax.lax.scan(
+                lambda c, xs: dense_body(c, xs, batch),
+                (x, caches["dense_k"], caches["dense_v"]),
+                (params["dense_layers"],
+                 jnp.arange(self.num_dense, dtype=jnp.int32)),
             )
             new_caches["dense_k"], new_caches["dense_v"] = kd, vd
         if self.pp > 1:
             from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
 
             def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
-                x_out, (kc, vc) = jax.lax.scan(
+                n_local = kc_local.shape[1] // nb  # layers in this stage
+                (x_out, kc, vc), _ = jax.lax.scan(
                     lambda c, xs: moe_body(c, xs, batch_mb),
-                    x_mb, (lp_local, kc_local, vc_local),
+                    (x_mb, kc_local, vc_local),
+                    (lp_local, jnp.arange(n_local, dtype=jnp.int32)),
                 )
                 return x_out, kc, vc
 
@@ -203,9 +215,11 @@ class Glm4MoeForCausalLM:
                 num_mb=self.pp_microbatches,
             )
         else:
-            x, (km, vm) = jax.lax.scan(
-                lambda c, xs: moe_body(c, xs, batch), x,
-                (params["moe_layers"], caches["moe_k"], caches["moe_v"]),
+            (x, km, vm), _ = jax.lax.scan(
+                lambda c, xs: moe_body(c, xs, batch),
+                (x, caches["moe_k"], caches["moe_v"]),
+                (params["moe_layers"],
+                 jnp.arange(self.num_moe, dtype=jnp.int32)),
             )
         new_caches["moe_k"], new_caches["moe_v"] = km, vm
 

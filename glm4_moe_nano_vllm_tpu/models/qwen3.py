@@ -77,9 +77,12 @@ class Qwen3ForCausalLM:
 
     def init_caches(self, num_blocks: int, block_size: int, kv_dtype=None):
         cfg = self.cfg
-        # head-major paged layout, see ops/kv_cache.py
-        shape = (cfg.num_layers, cfg.num_kv_heads, num_blocks, block_size, cfg.head_dim)
+        # head-major, layer-flat paged layout (layer l's blocks at
+        # [l*num_blocks, (l+1)*num_blocks)), see ops/kv_cache.py
+        shape = (cfg.num_kv_heads, cfg.num_layers * num_blocks, block_size,
+                 cfg.head_dim)
         dt = kv_dtype or self.dtype
+        self.num_blocks = num_blocks
         return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
     # ---- forward ---------------------------------------------------------
@@ -90,22 +93,31 @@ class Qwen3ForCausalLM:
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
         x = embed(batch.token_ids, params["embed"])
 
-        def body(x, xs, batch):
-            lp, kc, vc = xs
+        nb = self.num_blocks
+
+        def body(carry, xs, batch):
+            # KV caches ride the scan carry (in-place scatter, no full-cache
+            # rewrite); xs carries only this layer's params + index.
+            x, kc, vc = carry
+            lp, li = xs
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-            a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq)
+            a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq,
+                                        li, nb)
             x = x + a
             h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
-            return x, (kc, vc)
+            return (x, kc, vc), None
 
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
         if self.pp > 1:
             from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
 
             def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
-                x_out, (kc, vc) = jax.lax.scan(
+                n_local = kc_local.shape[1] // nb  # layers in this stage
+                (x_out, kc, vc), _ = jax.lax.scan(
                     lambda c, xs: body(c, xs, batch_mb),
-                    x_mb, (lp_local, kc_local, vc_local),
+                    (x_mb, kc_local, vc_local),
+                    (lp_local, jnp.arange(n_local, dtype=jnp.int32)),
                 )
                 return x_out, kc, vc
 
@@ -115,9 +127,10 @@ class Qwen3ForCausalLM:
                 num_mb=self.pp_microbatches,
             )
         else:
-            x, (k_new, v_new) = jax.lax.scan(
-                lambda c, xs: body(c, xs, batch), x,
-                (params["layers"], caches["k"], caches["v"]),
+            (x, k_new, v_new), _ = jax.lax.scan(
+                lambda c, xs: body(c, xs, batch),
+                (x, caches["k"], caches["v"]),
+                (params["layers"], layer_ids),
             )
         if return_hidden:
             return x, {"k": k_new, "v": v_new}

@@ -7,11 +7,17 @@ no-op`` padding convention (attention.py:23, model_runner.py:207) — negative
 indices are out of bounds and dropped, so fixed-shape padded batches never
 write to the cache.
 
-Cache layout per layer: ``[num_kv_heads, num_blocks, block_size, head_dim]``
-— *head-major*, so one (head, block) tile is a contiguous [block_size, 128]
-slab in HBM: exactly the unit the Pallas paged-attention kernel DMAs into
-VMEM. (The reference's token-major [blocks, bs, heads, dim] layout would make
-every kernel read strided.) head_dim=128 lands on the TPU lane dimension.
+Cache layout: ``[num_kv_heads, L*num_blocks, block_size, head_dim]`` — one
+*layer-flat* array per model stack (layer l's blocks live at
+[l*num_blocks, (l+1)*num_blocks)), *head-major*, so one (head, block) tile is
+a contiguous [block_size, 128] slab in HBM: exactly the unit the Pallas
+paged-attention kernel DMAs into VMEM. (The reference's token-major
+[blocks, bs, heads, dim] layout would make every kernel read strided.)
+head_dim=128 lands on the TPU lane dimension. Flattening layers into the
+block dim (instead of a stacked [L, ...] axis scanned as xs/ys) lets the
+model carry the whole cache through its layer scan and update it with an
+in-place scatter — layer offsets are applied to slot_mapping/block_tables,
+and the kernels are layout-agnostic (they only chase block-table values).
 """
 
 import jax
@@ -26,18 +32,21 @@ def write_kv(
     slot_mapping: jax.Array,  # [T] int32; flat slot = block_id*block_size + off; -1 = skip
 ) -> tuple[jax.Array, jax.Array]:
     h, nb, bs, d = k_cache.shape
-    # -1 pad slots must NOT wrap to the last row (numpy negative-index
-    # semantics); remap to one-past-end, which mode="drop" discards.
-    slots = jnp.where(slot_mapping < 0, nb * bs, slot_mapping)
-    kf = k_cache.reshape(h, nb * bs, d)
-    vf = v_cache.reshape(h, nb * bs, d)
-    kf = kf.at[:, slots].set(
-        k_new.transpose(1, 0, 2).astype(kf.dtype), mode="drop"
+    # Scatter in the native 4-D layout: reshaping [H, NB, bs, D] to merge the
+    # (block, offset) dims re-tiles the array on TPU — a physical full-cache
+    # copy per call, which defeats in-place carry updates. -1 pad slots must
+    # NOT wrap (numpy negative-index semantics); remap to an out-of-bounds
+    # block, which mode="drop" discards.
+    invalid = slot_mapping < 0
+    bidx = jnp.where(invalid, nb, slot_mapping // bs)
+    boff = jnp.where(invalid, 0, slot_mapping % bs)
+    k_cache = k_cache.at[:, bidx, boff].set(
+        k_new.transpose(1, 0, 2).astype(k_cache.dtype), mode="drop"
     )
-    vf = vf.at[:, slots].set(
-        v_new.transpose(1, 0, 2).astype(vf.dtype), mode="drop"
+    v_cache = v_cache.at[:, bidx, boff].set(
+        v_new.transpose(1, 0, 2).astype(v_cache.dtype), mode="drop"
     )
-    return kf.reshape(h, nb, bs, d), vf.reshape(h, nb, bs, d)
+    return k_cache, v_cache
 
 
 def gather_kv(

@@ -79,7 +79,7 @@ def pipeline_forward(
     stage_fn,
     x: jax.Array,  # [B, S, H] hidden states entering the pipelined stack
     layer_params,  # pytree of [L, ...] stacked arrays, L sharded over pp
-    k_caches: jax.Array,  # [L, ...] KV stacks, L sharded over pp
+    k_caches: jax.Array,  # [H, L*nb, bs, D] layer-flat cache, dim 1 on pp
     v_caches: jax.Array,
     batch: BatchInfo,
     num_mb: int = 0,
@@ -139,8 +139,8 @@ def pipeline_forward(
     fn = jax.shard_map(
         pipelined,
         mesh=mesh,
-        in_specs=(P(), stack_spec, P("pp"), P("pp"), batch_spec),
-        out_specs=(P(), P("pp"), P("pp")),
+        in_specs=(P(), stack_spec, P(None, "pp"), P(None, "pp"), batch_spec),
+        out_specs=(P(), P(None, "pp"), P(None, "pp")),
         axis_names=frozenset({"pp"}),
         check_vma=False,
     )

@@ -153,16 +153,16 @@ def param_specs(
 
 
 def cache_specs(caches, replicate_kv: bool = False, pp_keys: tuple = ()) -> dict:
-    """KV caches: [L, H_kv, num_blocks, block_size, D] → heads on tp; stacks
-    named in ``pp_keys`` additionally shard the layer dim over pp."""
+    """KV caches: [H_kv, L*num_blocks, block_size, D] → heads on tp; stacks
+    named in ``pp_keys`` additionally shard the layer-flat block dim over pp
+    (contiguous layer slabs → each pp stage owns its own layers' blocks)."""
 
     def spec(path, leaf):
-        assert leaf.ndim == 5
+        assert leaf.ndim == 4
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        lead = "pp" if name in pp_keys else None
-        if replicate_kv:
-            return P(lead, None, None, None, None)
-        return P(lead, "tp", None, None, None)
+        blocks = "pp" if name in pp_keys else None
+        heads = None if replicate_kv else "tp"
+        return P(heads, blocks, None, None)
 
     return jax.tree_util.tree_map_with_path(spec, caches)
 
