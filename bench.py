@@ -69,8 +69,8 @@ def main():
         max_num_seqs=num_seqs,
         max_num_batched_tokens=16384,
         max_model_len=512,
-        kvcache_block_size=64,
-        num_kvcache_blocks=num_seqs * 8,
+        kvcache_block_size=32,
+        num_kvcache_blocks=num_seqs * 16,
         prefill_chunk_size=1024,
         enforce_eager=True,
         decode_buckets=(num_seqs,),
@@ -78,6 +78,9 @@ def main():
         prefill_len_buckets=(128, 256),
         dtype="bfloat16",
         kv_cache_dtype="bfloat16",
+        # 64-token decode windows amortize the host<->device round trip;
+        # 32-token blocks cut the write kernel's RMW amplification
+        num_scheduler_steps=64,
     )
 
     rng = np.random.default_rng(0)
