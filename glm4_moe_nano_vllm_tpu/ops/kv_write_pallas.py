@@ -135,18 +135,28 @@ def _kv_write_kernel(
             m = (rows >= lo_ref[e]) & (rows < hi_ref[e])
             kblk[idx] = jnp.where(m, ksrc[idx], kblk[idx])
             vblk[idx] = jnp.where(m, vsrc[idx], vblk[idx])
-            wk = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 kblk.at[idx], kc_out.at[:, blk], sems.at[0, idx]
-            )
-            wv = pltpu.make_async_copy(
+            ).start()
+            pltpu.make_async_copy(
                 vblk.at[idx], vc_out.at[:, blk], sems.at[1, idx]
-            )
-            wk.start()
-            wv.start()
-            # must complete inside this grid step: a later step may RMW the
-            # same block (SP sibling chunks sharing a boundary block)
-            wk.wait()
-            wv.wait()
+            ).start()
+
+    # write-backs must complete inside this grid step (a later *step* may RMW
+    # the same block) but can overlap each other — same-step entries never
+    # share a block (see PRECONDITION above)
+    for idx in range(group):
+        e = step * group + idx
+        blk = blk_ref[e]
+
+        @pl.when(blk >= 0)
+        def _(idx=idx, blk=blk):
+            pltpu.make_async_copy(
+                kblk.at[idx], kc_out.at[:, blk], sems.at[0, idx]
+            ).wait()
+            pltpu.make_async_copy(
+                vblk.at[idx], vc_out.at[:, blk], sems.at[1, idx]
+            ).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
