@@ -183,7 +183,10 @@ def write_kv_pallas(
     ).astype(jnp.int32)
 
     entries = blk.size
-    group = max(1, min(8, entries))
+    # group size bounded by VMEM: 4 slab buffers per group member (k/v block
+    # + k/v source), ~12 MB budget leaves headroom under the ~16 MB limit
+    slab_bytes = h * bs * d * jnp.dtype(k_cache.dtype).itemsize
+    group = max(1, min(8, entries, (12 << 20) // (4 * slab_bytes)))
     pad = -entries % group
     flat = lambda a: jnp.pad(a.reshape(-1), (0, pad), constant_values=-1)
     blk_f, lo_f, hi_f = flat(blk), flat(lo), flat(hi)

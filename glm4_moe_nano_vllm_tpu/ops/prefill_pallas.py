@@ -142,7 +142,12 @@ def paged_prefill(
     g = hq // hkv
     maxb = block_tables.shape[1]
 
-    tq = max(8, min(sq, 512 // g))
+    # Each q tile flash-iterates its full causal context, so total KV traffic
+    # scales with n_tiles x ctx — larger tiles amortize context re-reads
+    # (decisive at 32K: 2x fewer tiles = 2x less HBM read). 1024 score rows
+    # is the largest tile that keeps the f32 scores/p/acc/q + pipeline
+    # buffers under the 16 MB VMEM scoped-allocation limit.
+    tq = max(8, min(sq, 1024 // g))
     n_tiles = pl.cdiv(sq, tq)
     q5 = q.reshape(b, sq, hkv, g, d)
 
