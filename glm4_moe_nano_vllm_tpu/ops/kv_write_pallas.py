@@ -185,6 +185,8 @@ def write_kv_pallas(
     entries = blk.size
     # group size bounded by VMEM: 4 slab buffers per group member (k/v block
     # + k/v source), ~12 MB budget leaves headroom under the ~16 MB limit
+    # (groups >8 measured no better — the grid-step count isn't the binding
+    # cost at decode shapes)
     slab_bytes = h * bs * d * jnp.dtype(k_cache.dtype).itemsize
     group = max(1, min(8, entries, (12 << 20) // (4 * slab_bytes)))
     pad = -entries % group

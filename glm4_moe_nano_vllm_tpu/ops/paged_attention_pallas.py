@@ -198,7 +198,7 @@ def paged_attention_decode(
     maxb = block_tables.shape[1]
     # pages per compute chunk: ~256-token chunks bound wasted reads past each
     # sequence's length while keeping the page DMAs per grid step batched
-    bpc = max(1, min(maxb, 256 // bs))
+    bpc = max(1, min(maxb, int(__import__("os").environ.get("NVT_PA_CHUNK", "256")) // bs))
     while maxb % bpc:  # partial tail chunks would read past the block table
         bpc -= 1
     cmax = pl.cdiv(maxb, bpc)
