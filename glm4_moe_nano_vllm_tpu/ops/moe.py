@@ -92,11 +92,15 @@ def moe_experts_dense(
     u = jnp.einsum("th,ehi->tei", x, w_up, preferred_element_type=x.dtype)
     h = silu_and_mul(g, u)
     o = jnp.einsum("tei,eih->teh", h, w_down, preferred_element_type=jnp.float32)
-    # dense [T, E] combine weights from the top-k selection
-    w_dense = jnp.zeros((x.shape[0], e), jnp.float32).at[
-        jnp.arange(x.shape[0])[:, None], topk_idx
-    ].add(topk_w)
+    w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
     return jnp.einsum("teh,te->th", o, w_dense).astype(x.dtype)
+
+
+def _dense_weights(topk_idx, topk_w, t: int, e: int) -> jax.Array:
+    """[T, E] combine-weight map from the top-k selection (0 elsewhere)."""
+    return jnp.zeros((t, e), jnp.float32).at[
+        jnp.arange(t)[:, None], topk_idx
+    ].add(topk_w)
 
 
 def moe_experts(
@@ -107,10 +111,11 @@ def moe_experts(
     w_up,
     w_down,  # [E, I, H]
 ) -> jax.Array:
-    if (
-        not isinstance(w_gate, dict)
-        and x.shape[0] <= DENSE_MODE_MAX_TOKENS
-    ):
+    # Quantized experts stay on sorted dispatch: the tiled uniform-group
+    # variant (moe_experts_dense_quant) measured SLOWER for int4/int8
+    # (e.g. AWQ decode 10.5k -> 9.4k tok/s) — the GMM kernel's per-row work
+    # scales with E*T while its weight reads were already minimal.
+    if not isinstance(w_gate, dict) and x.shape[0] <= DENSE_MODE_MAX_TOKENS:
         return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)
     t, k = topk_idx.shape
     e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
@@ -176,9 +181,7 @@ def moe_experts_ep(
             hh = silu_and_mul(g, u)
             o = jnp.einsum("tei,eih->teh", hh, wd,
                            preferred_element_type=jnp.float32)
-            w_dense = jnp.zeros((t, e), jnp.float32).at[
-                jnp.arange(t)[:, None], topk_idx
-            ].add(topk_w)
+            w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
             part = jnp.einsum("teh,te->th", o, w_local).astype(x.dtype)
             return jax.lax.psum(part, axis)
