@@ -111,12 +111,25 @@ def moe_experts(
     w_up,
     w_down,  # [E, I, H]
 ) -> jax.Array:
-    # Quantized experts stay on sorted dispatch: the tiled uniform-group
-    # variant (moe_experts_dense_quant) measured SLOWER for int4/int8
-    # (e.g. AWQ decode 10.5k -> 9.4k tok/s) — the GMM kernel's per-row work
-    # scales with E*T while its weight reads were already minimal.
-    if not isinstance(w_gate, dict) and x.shape[0] <= DENSE_MODE_MAX_TOKENS:
-        return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)
+    if x.shape[0] <= DENSE_MODE_MAX_TOKENS:
+        if not isinstance(w_gate, dict):
+            return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
+
+        if _use_pallas_gmm(int4="zp" in w_gate):
+            # broadcast-lhs GMM: weights stay packed, zero dispatch movement
+            from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
+                quant_moe_experts_dense,
+            )
+
+            o = quant_moe_experts_dense(x, w_gate, w_up, w_down)  # [E, T, H]
+            w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], o.shape[0])
+            return jnp.einsum(
+                "eth,te->th", o.astype(jnp.float32), w_dense
+            ).astype(x.dtype)
+        # XLA-path quantized experts (int8 default / CPU): sorted dispatch —
+        # an XLA dense-mode variant measured slower (tiled lhs, AWQ decode
+        # 10.5k -> 9.4k tok/s)
     t, k = topk_idx.shape
     e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
     flat_e = topk_idx.reshape(-1)  # [T*K]

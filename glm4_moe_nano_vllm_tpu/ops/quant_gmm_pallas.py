@@ -36,9 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int,
-                 n_w: int):
+                 n_w: int, broadcast_lhs: bool = False):
     """n_w = tensors per weight set: 3 = int4 (qw, zp, scale), 2 = int8
-    (qw, scale)."""
+    (qw, scale). ``broadcast_lhs``: every expert consumes the SAME lhs rows
+    [0, cnt) while writing its own output span (dense-mode MoE, see
+    quant_moe_experts_dense) — removes the sorted-dispatch gather/scatter."""
 
     def kernel(offs_ref, *refs):
         lhs_hbm = refs[0]
@@ -76,8 +78,9 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int,
             def _(el=el, start=start, nchunks=nchunks):
                 def chunk_body(r, _):
                     row = pl.multiple_of(start + r * tm, tm)
+                    lhs_row = pl.multiple_of(r * tm, tm) if broadcast_lhs else row
                     xcp = pltpu.make_async_copy(
-                        lhs_hbm.at[pl.ds(row, tm), :], x_scr,
+                        lhs_hbm.at[pl.ds(lhs_row, tm), :], x_scr,
                         sems.at[n_w * n_sets],
                     )
                     xcp.start()
@@ -153,8 +156,9 @@ def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
     return eb
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
-def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tm", "broadcast_lhs", "interpret"))
+def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int,
+              broadcast_lhs: bool = False, interpret: bool = False):
     # int4 sets are (qw u8-packed, zp, scale); int8 sets are (qw i8, scale)
     int4 = wsets_flat[0].dtype == jnp.uint8
     n_w = 3 if int4 else 2
@@ -191,10 +195,12 @@ def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int, interpret: bool = False):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_sets,
         scratch_shapes=scratch,
     )
+    m_out = m_pad * e if broadcast_lhs else m_pad
     out = pl.pallas_call(
-        _make_kernel(n_sets, tm=tm, tn=tn, kt=kt, nk=k // kt, eb=eb, n_w=n_w),
+        _make_kernel(n_sets, tm=tm, tn=tn, kt=kt, nk=k // kt, eb=eb, n_w=n_w,
+                     broadcast_lhs=broadcast_lhs),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m_pad, n), lhs_padded.dtype)] * n_sets,
+        out_shape=[jax.ShapeDtypeStruct((m_out, n), lhs_padded.dtype)] * n_sets,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -253,6 +259,44 @@ def quant_gmm_pair(lhs, qwa, zpa, sca, qwb, zpb, scb, group_sizes,
     if dst is None:
         return oa[:m], ob[:m]
     return oa[dst], ob[dst]
+
+
+def _flat_set(qp: dict):
+    s = qp["scale"].astype(jnp.float32)
+    if "zp" in qp:
+        return (qp["qw"], qp["zp"], s)
+    return (qp["qw"], s)
+
+
+def quant_moe_experts_dense(x, qp_gate: dict, qp_up: dict, qp_down: dict,
+                            interpret: bool = False):
+    """Dense-mode quantized MoE experts: every expert processes ALL tokens.
+
+    Decode fast path (see ops/moe.py DENSE_MODE_MAX_TOKENS): at small T the
+    step is expert-weight-read bound, so running each expert on the full
+    [T, H] block costs the same HBM traffic but removes the whole
+    sort/gather/pad/scatter dispatch. gate+up run in broadcast-lhs mode (one
+    lhs, per-expert output spans); the down projection consumes that already
+    expert-contiguous intermediate with uniform group offsets — no XLA-side
+    data movement at all. Returns [E, T, H] per-expert outputs (combine with
+    the dense top-k weight map).
+    """
+    from glm4_moe_nano_vllm_tpu.layers.activation import silu_and_mul
+
+    t, k = x.shape
+    e = qp_gate["qw"].shape[0]
+    # one chunk per expert: the whole [T, K] block stays VMEM-resident
+    # (T <= DENSE_MODE_MAX_TOKENS -> <= 1 MB) instead of re-looping tiny tm
+    # chunks per expert
+    tm = -(-t // 8) * 8
+    t_pad = tm
+    x_p = jnp.zeros((t_pad, k), x.dtype).at[:t].set(x)
+    offs = jnp.arange(e + 1, dtype=jnp.int32) * t_pad
+    g, u = _gmm_call(x_p, offs, *_flat_set(qp_gate), *_flat_set(qp_up),
+                     tm=tm, broadcast_lhs=True, interpret=interpret)
+    h = silu_and_mul(g, u).astype(x.dtype)  # [E*t_pad, I] expert-contiguous
+    (o,) = _gmm_call(h, offs, *_flat_set(qp_down), tm=tm, interpret=interpret)
+    return o.reshape(e, t_pad, -1)[:, :t]
 
 
 def quant_gmm_int8(lhs, qw, scale, group_sizes, interpret: bool = False):

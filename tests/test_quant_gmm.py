@@ -114,3 +114,28 @@ def test_quant_gmm_pair_matches_singles():
                             qb["qw"], qb["zp"], qb["scale"], gs, interpret=True)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(ga), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(gb), rtol=1e-5, atol=1e-5)
+
+
+def test_quant_moe_experts_dense_matches_dequant_oracle():
+    """Broadcast-lhs dense-mode MoE (decode fast path): every expert runs all
+    tokens; gate+up in broadcast mode, down over the expert-contiguous
+    intermediate. Oracle = dequantized dense einsums."""
+    from glm4_moe_nano_vllm_tpu.layers.activation import silu_and_mul
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_moe_experts_dense
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+
+    rng = np.random.default_rng(11)
+    e, t, h, i, g = 4, 24, 256, 128, 128
+    qg_ = make_quant_stack(rng, e, h, i, g)
+    qu_ = make_quant_stack(rng, e, h, i, g)
+    qd_ = make_quant_stack(rng, e, i, h, g)
+    x = jnp.asarray(rng.normal(size=(t, h)), jnp.float32)
+    out = quant_moe_experts_dense(x, qg_, qu_, qd_, interpret=True)  # [E,T,H]
+    wg = dequantize(qg_, jnp.float32)
+    wu = dequantize(qu_, jnp.float32)
+    wd = dequantize(qd_, jnp.float32)
+    hh = silu_and_mul(jnp.einsum("th,ehi->tei", x, wg),
+                      jnp.einsum("th,ehi->tei", x, wu))
+    ref = jnp.einsum("tei,eih->eth", hh, wd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
