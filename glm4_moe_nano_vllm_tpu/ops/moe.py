@@ -47,11 +47,26 @@ def route_topk(
     return topk_idx.astype(jnp.int32), topk_w
 
 
+def _use_pallas_bf16_gmm() -> bool:
+    import os
+
+    if not os.environ.get("NVT_PALLAS_BF16_GMM"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _grouped_matmul(xs, w, group_sizes):
     if isinstance(w, dict):
         from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot
 
         return quant_ragged_dot(xs, w, group_sizes)
+    if _use_pallas_bf16_gmm():
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import gmm_bf16
+
+        return gmm_bf16(xs, w, group_sizes)
     return jax.lax.ragged_dot(xs, w, group_sizes)
 
 

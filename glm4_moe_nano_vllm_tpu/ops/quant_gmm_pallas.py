@@ -50,7 +50,7 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int,
         x_scr = scr[0]
         wzs_scr = scr[1: 1 + n_w * n_sets]  # weight scratch per set
         o_scr = scr[1 + n_w * n_sets: 1 + (n_w + 1) * n_sets]
-        sems = scr[-1]
+        sems = scr[-1]  # n_w=1: full-precision weights (no dequant)
 
         ei = pl.program_id(0)
         n = pl.program_id(1)
@@ -90,6 +90,12 @@ def _make_kernel(n_sets: int, tm: int, tn: int, kt: int, nk: int, eb: int,
                         acc = jnp.zeros((tm, tn), jnp.float32)
                         for ki in range(nk):
                             x = x_scr[:, ki * kt:(ki + 1) * kt]
+                            if n_w == 1:  # full-precision weights
+                                w = wzs_scr[s][el, ki * kt:(ki + 1) * kt]
+                                acc = acc + jnp.dot(
+                                    x, w, preferred_element_type=jnp.float32
+                                )
+                                continue
                             sc_scr = wzs_scr[n_w * s + n_w - 1]
                             scale = sc_scr[el, ki: ki + 1]
                             if n_w == 3:  # int4: unpack nibbles, shift by zp
@@ -143,13 +149,13 @@ def _choose_tm(m: int) -> int:
     return 8
 
 
-def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
+def _choose_eb(e: int, k_bytes: int, tn: int, n_sets: int) -> int:
     """Experts resident per instance: bounded by a ~4MB weight-scratch budget
     and capped at 8 (the expert loop is fully unrolled — static indexing is
     mandatory for VMEM read performance — so eb multiplies kernel code size
-    and Mosaic compile time)."""
+    and Mosaic compile time). ``k_bytes`` = bytes per (K, 1) weight column."""
     budget = 4 * 1024 * 1024
-    per_expert = k2 * tn * n_sets
+    per_expert = k_bytes * tn * n_sets
     eb = max(1, min(e, 8, budget // max(per_expert, 1)))
     while e % eb != 0:
         eb -= 1
@@ -159,22 +165,31 @@ def _choose_eb(e: int, k2: int, tn: int, n_sets: int) -> int:
 @functools.partial(jax.jit, static_argnames=("tm", "broadcast_lhs", "interpret"))
 def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int,
               broadcast_lhs: bool = False, interpret: bool = False):
-    # int4 sets are (qw u8-packed, zp, scale); int8 sets are (qw i8, scale)
+    # int4 sets are (qw u8-packed, zp, scale); int8 sets are (qw i8, scale);
+    # full-precision sets are a single weight stack (no dequant tensors)
     int4 = wsets_flat[0].dtype == jnp.uint8
-    n_w = 3 if int4 else 2
+    int8 = wsets_flat[0].dtype == jnp.int8
+    n_w = 3 if int4 else (2 if int8 else 1)
     n_sets = len(wsets_flat) // n_w
     m_pad, k = lhs_padded.shape
-    e, kw, n = wsets_flat[0].shape  # kw = K/2 (int4 packed) or K (int8)
+    e, kw, n = wsets_flat[0].shape  # kw = K/2 (int4 packed) or K
     assert kw * (2 if int4 else 1) == k, (wsets_flat[0].shape, lhs_padded.shape)
-    kg = wsets_flat[1].shape[1]
-    kt = k // kg  # K tile == quant group size
+    if n_w == 1:
+        kt = min(k, 512)  # K tile (VMEM slicing granularity, no quant groups)
+        assert k % kt == 0, (k, kt)
+    else:
+        kg = wsets_flat[1].shape[1]
+        kt = k // kg  # K tile == quant group size
     tn = n if n <= 512 or n % 512 != 0 else 512
     assert n % tn == 0, (n, tn)
-    eb = _choose_eb(e, kw, tn, n_sets)
+    w_itemsize = jnp.dtype(wsets_flat[0].dtype).itemsize
+    eb = _choose_eb(e, kw * w_itemsize, tn, n_sets)
 
     scratch = [pltpu.VMEM((tm, k), lhs_padded.dtype)]
     for _ in range(n_sets):
-        if int4:
+        if n_w == 1:
+            scratch += [pltpu.VMEM((eb, kw, tn), wsets_flat[0].dtype)]
+        elif int4:
             scratch += [
                 pltpu.VMEM((eb, kw, tn), jnp.uint8),
                 pltpu.VMEM((eb, kg, tn), jnp.uint8),
@@ -297,6 +312,28 @@ def quant_moe_experts_dense(x, qp_gate: dict, qp_up: dict, qp_down: dict,
     h = silu_and_mul(g, u).astype(x.dtype)  # [E*t_pad, I] expert-contiguous
     (o,) = _gmm_call(h, offs, *_flat_set(qp_down), tm=tm, interpret=interpret)
     return o.reshape(e, t_pad, -1)[:, :t]
+
+
+def gmm_bf16(lhs, w, group_sizes, interpret: bool = False):
+    """Full-precision grouped expert matmul [m, K] x [E, K, N] (sorted rows).
+
+    Same kernel as the quantized GMM with n_w = 1 (no dequant tensors) —
+    an alternative to ``jax.lax.ragged_dot`` for the MoE prefill path.
+    """
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, w.shape[0])
+    (out_p,) = _gmm_call(lhs_p, offs, w, tm=tm, interpret=interpret)
+    return out_p[:m] if dst is None else out_p[dst]
+
+
+def gmm_bf16_pair(lhs, wa, wb, group_sizes, interpret: bool = False):
+    """Paired full-precision grouped matmul (same lhs, two weight sets)."""
+    m = lhs.shape[0]
+    lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, wa.shape[0])
+    oa, ob = _gmm_call(lhs_p, offs, wa, wb, tm=tm, interpret=interpret)
+    if dst is None:
+        return oa[:m], ob[:m]
+    return oa[dst], ob[dst]
 
 
 def quant_gmm_int8(lhs, qw, scale, group_sizes, interpret: bool = False):

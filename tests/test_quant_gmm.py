@@ -139,3 +139,22 @@ def test_quant_moe_experts_dense_matches_dequant_oracle():
     ref = jnp.einsum("tei,eih->eth", hh, wd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gmm_bf16_matches_ragged_dot():
+    """Full-precision GMM mode (n_w=1) vs jax.lax.ragged_dot."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import gmm_bf16, gmm_bf16_pair
+
+    rng = np.random.default_rng(5)
+    e, m, k, n = 4, 96, 256, 256
+    w = jnp.asarray(rng.normal(size=(e, k, n)), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(e, k, n)), jnp.float32)
+    gs = jnp.asarray([40, 0, 16, 40], jnp.int32)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    ref_a = jax.lax.ragged_dot(x, w, gs)
+    ref_b = jax.lax.ragged_dot(x, wb, gs)
+    np.testing.assert_allclose(np.asarray(gmm_bf16(x, w, gs, interpret=True)),
+                               np.asarray(ref_a), rtol=1e-4, atol=1e-4)
+    pa, pb = gmm_bf16_pair(x, w, wb, gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(ref_a), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(ref_b), rtol=1e-4, atol=1e-4)
