@@ -42,24 +42,31 @@ NEG_INF = -1e30
 
 
 class _ChunkCopy:
-    """Async copy of ``bpc`` KV pages (all heads per page) into VMEM."""
+    """Async copy of ``bpc`` KV pages (all heads per page) into VMEM.
 
-    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc):
-        self.copies = []
+    Pages at or past ``pages_needed`` (the sequence's real context) are
+    skipped — start and wait use the same predicate — so large chunks
+    (deep DMA queues) don't over-read short contexts."""
+
+    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc,
+                 first_page, pages_needed):
+        self.entries = []
         for j in range(bpc):
             page = pi_ref[page_offset + j]
+            cond = first_page + j < pages_needed
             # [Hkv, bs, D] strided slab: one descriptor covers every head
-            self.copies.append(
-                pltpu.make_async_copy(hbm_ref.at[:, page], buf.at[:, j], sem)
+            self.entries.append(
+                (pltpu.make_async_copy(hbm_ref.at[:, page], buf.at[:, j], sem),
+                 cond)
             )
 
     def start(self):
-        for c in self.copies:
-            c.start()
+        for c, cond in self.entries:
+            pl.when(cond)(c.start)
 
     def wait(self):
-        for c in self.copies:
-            c.wait()
+        for c, cond in self.entries:
+            pl.when(cond)(c.wait)
 
 
 def _decode_kernel(
@@ -95,8 +102,13 @@ def _decode_kernel(
 
     def copies_for(b_, i_, slot):
         off = b_ * maxb + i_ * bpc
-        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off, bpc)
-        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off, bpc)
+        first = i_ * bpc
+        needed = (len_ref[jax.lax.clamp(0, b_, batch - 1)]
+                  + block_size - 1) // block_size
+        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off,
+                        bpc, first, needed)
+        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off,
+                        bpc, first, needed)
         return ck, cv
 
     def next_indices(b_, i_):
@@ -132,6 +144,11 @@ def _decode_kernel(
 
         @pl.when(init_ref[0] == 1)
         def _():
+            # zero both buffer slots once: pages past a sequence's context
+            # are never DMA'd, and uninitialized VMEM could hold NaNs that
+            # poison the masked p=0 * v accumulation (0 * NaN = NaN)
+            k_buf[...] = jnp.zeros_like(k_buf)
+            v_buf[...] = jnp.zeros_like(v_buf)
             ck, cv = copies_for(b, i, buf)
             ck.start()
             cv.start()
