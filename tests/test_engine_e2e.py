@@ -159,3 +159,14 @@ def test_glm4_moe_generation():
     assert all(len(o) == 8 for o in outs)
     a = gen(e, [[1, 2, 3, 4]], ignore_eos=True)[0]
     assert a == outs[0]
+
+
+def test_public_api_tensor_parallel_matches_single_device():
+    """`LLM(tensor_parallel_size=..., data_parallel_size=...)` — the public
+    engine path that builds the mesh itself (reference: per-rank processes,
+    llm_engine.py:23-30) — must produce the same greedy tokens as tp=1."""
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], list(range(1, 40))]
+    base = gen(make_engine(TINY_MOE), prompts)
+    e = make_engine(TINY_MOE, tensor_parallel_size=2, data_parallel_size=2)
+    assert e.model_runner.mesh is not None
+    assert gen(e, prompts) == base
