@@ -170,3 +170,33 @@ def test_public_api_tensor_parallel_matches_single_device():
     e = make_engine(TINY_MOE, tensor_parallel_size=2, data_parallel_size=2)
     assert e.model_runner.mesh is not None
     assert gen(e, prompts) == base
+
+
+def test_preemption_under_pressure_matches_unconstrained():
+    """A starved block pool forces preemption/recompute churn mid-decode;
+    greedy outputs must be identical to an unconstrained engine (the
+    reference's tail-preemption semantics, scheduler.py:60-63, preserved)."""
+    rng = np.random.default_rng(3)
+    # short prompts all admit at once, then decode growth (96 tokens each)
+    # outgrows the 18-block pool -> tail preemption + recompute mid-stream
+    prompts = [rng.integers(1, 120, size=int(n)).tolist()
+               for n in rng.integers(3, 8, size=8)]
+    base = gen(make_engine(TINY_MOE, num_kvcache_blocks=256), prompts,
+               max_tokens=96)
+    starved = make_engine(TINY_MOE, num_kvcache_blocks=18,
+                          enable_prefix_caching=False)
+    out = gen(starved, prompts, max_tokens=96)
+    assert out == base
+    assert starved.metrics.num_preemptions > 0  # the pressure was real
+
+
+def test_sp_prefill_with_preemption_pressure():
+    """Sequence-parallel prefill + starved pool + prefix caching together."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 120, size=int(n)).tolist()
+               for n in rng.integers(30, 90, size=5)]
+    base = gen(make_engine(TINY_MOE, num_kvcache_blocks=256), prompts,
+               max_tokens=16)
+    e = make_engine(TINY_MOE, num_kvcache_blocks=48, prefill_sp_degree=3,
+                    prefill_chunk_size=16)
+    assert gen(e, prompts, max_tokens=16) == base
