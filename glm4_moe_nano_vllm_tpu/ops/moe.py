@@ -105,8 +105,11 @@ def moe_experts_dense(
     e = w_gate.shape[0]
     g = jnp.einsum("th,ehi->tei", x, w_gate, preferred_element_type=x.dtype)
     u = jnp.einsum("th,ehi->tei", x, w_up, preferred_element_type=x.dtype)
-    h = silu_and_mul(g, u)
-    o = jnp.einsum("tei,eih->teh", h, w_down, preferred_element_type=jnp.float32)
+    h = silu_and_mul(g, u).astype(x.dtype)
+    # accumulate in x.dtype like the sorted ragged_dot path (a bf16->f32
+    # preferred dot is also unsupported by XLA CPU), combine in f32
+    o = jnp.einsum("tei,eih->teh", h, w_down,
+                   preferred_element_type=x.dtype).astype(jnp.float32)
     w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
     return jnp.einsum("teh,te->th", o, w_dense).astype(x.dtype)
 
@@ -206,9 +209,9 @@ def moe_experts_ep(
             # for every token, combine weights sliced to this shard's experts
             g = jnp.einsum("th,ehi->tei", x, wg, preferred_element_type=x.dtype)
             u = jnp.einsum("th,ehi->tei", x, wu, preferred_element_type=x.dtype)
-            hh = silu_and_mul(g, u)
+            hh = silu_and_mul(g, u).astype(x.dtype)
             o = jnp.einsum("tei,eih->teh", hh, wd,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=x.dtype).astype(jnp.float32)
             w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
             part = jnp.einsum("teh,te->th", o, w_local).astype(x.dtype)
