@@ -216,6 +216,13 @@ class Config:
                 "when prefill_sp_degree > 1",
                 self.prefill_chunk_size, self.kvcache_block_size,
             )
+            # Under pp, sibling SP rows could land in different microbatches
+            # and be pipelined out of order (a later chunk would attend KV
+            # its sibling has not written yet) — the combination is rejected.
+            assert self.pipeline_parallel_size == 1, (
+                "prefill_sp_degree > 1 is not supported with pipeline "
+                "parallelism"
+            )
         if self.eos == -1:
             self.eos = self.model_config.eos_token_id
         # Bucket ladders must cover the config's extremes (a clamped bucket

@@ -65,7 +65,8 @@ class BlockManager:
     def num_free_blocks(self) -> int:
         return len(self.free_block_ids)
 
-    def _pop_free_id(self) -> int:
+    def _peek_free_id(self) -> int:
+        """Oldest free block id (NOT removed — ``_take_block`` deletes it)."""
         return next(iter(self.free_block_ids))
 
     def _take_block(self, block_id: int) -> Block:
@@ -108,7 +109,7 @@ class BlockManager:
                 block_id = cached_id
             else:
                 cache_hit = False  # a miss breaks the chain for later blocks
-                block_id = self._pop_free_id()
+                block_id = self._peek_free_id()
                 block = self._take_block(block_id)
                 if full and self.enable_prefix_caching:
                     block.hash = prefix_hash
@@ -147,7 +148,7 @@ class BlockManager:
     def may_append(self, seq: Sequence, n_tokens: int = 1) -> None:
         """Extend the block table to cover an n-token decode window."""
         for _ in range(self.blocks_needed(seq, n_tokens)):
-            block_id = self._pop_free_id()
+            block_id = self._peek_free_id()
             self._take_block(block_id)
             seq.block_table.append(block_id)
 

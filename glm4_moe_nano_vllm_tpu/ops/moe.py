@@ -93,6 +93,19 @@ def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype):
 DENSE_MODE_MAX_TOKENS = 512
 
 
+def _dense_expert_outputs(x, w_gate, w_up, w_down) -> jax.Array:
+    """Every expert applied to every token -> [T, E, H] in f32.
+
+    Accumulates in x.dtype like the sorted ragged_dot path (a bf16->f32
+    preferred dot is also unsupported by XLA CPU), upcasts for the combine.
+    """
+    g = jnp.einsum("th,ehi->tei", x, w_gate, preferred_element_type=x.dtype)
+    u = jnp.einsum("th,ehi->tei", x, w_up, preferred_element_type=x.dtype)
+    h = silu_and_mul(g, u).astype(x.dtype)
+    return jnp.einsum("tei,eih->teh", h, w_down,
+                      preferred_element_type=x.dtype).astype(jnp.float32)
+
+
 def moe_experts_dense(
     x: jax.Array,  # [T, H]
     topk_idx: jax.Array,  # [T, K]
@@ -102,15 +115,8 @@ def moe_experts_dense(
     w_down: jax.Array,  # [E, I, H]
 ) -> jax.Array:
     """All-experts-for-all-tokens MoE (decode fast path, see above)."""
-    e = w_gate.shape[0]
-    g = jnp.einsum("th,ehi->tei", x, w_gate, preferred_element_type=x.dtype)
-    u = jnp.einsum("th,ehi->tei", x, w_up, preferred_element_type=x.dtype)
-    h = silu_and_mul(g, u).astype(x.dtype)
-    # accumulate in x.dtype like the sorted ragged_dot path (a bf16->f32
-    # preferred dot is also unsupported by XLA CPU), combine in f32
-    o = jnp.einsum("tei,eih->teh", h, w_down,
-                   preferred_element_type=x.dtype).astype(jnp.float32)
-    w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
+    o = _dense_expert_outputs(x, w_gate, w_up, w_down)
+    w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], w_gate.shape[0])
     return jnp.einsum("teh,te->th", o, w_dense).astype(x.dtype)
 
 
@@ -207,11 +213,7 @@ def moe_experts_ep(
         if not isinstance(wg, dict) and t <= DENSE_MODE_MAX_TOKENS:
             # dense fast path (see DENSE_MODE_MAX_TOKENS): every local expert
             # for every token, combine weights sliced to this shard's experts
-            g = jnp.einsum("th,ehi->tei", x, wg, preferred_element_type=x.dtype)
-            u = jnp.einsum("th,ehi->tei", x, wu, preferred_element_type=x.dtype)
-            hh = silu_and_mul(g, u).astype(x.dtype)
-            o = jnp.einsum("tei,eih->teh", hh, wd,
-                           preferred_element_type=x.dtype).astype(jnp.float32)
+            o = _dense_expert_outputs(x, wg, wu, wd)
             w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
             part = jnp.einsum("teh,te->th", o, w_local).astype(x.dtype)

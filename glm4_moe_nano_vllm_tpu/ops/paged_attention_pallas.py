@@ -32,6 +32,7 @@ organized to amortize per-grid-step and per-DMA overhead:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# compute-chunk size in tokens (read once at import; programs cache by shape)
+_PA_CHUNK = int(os.environ.get("NVT_PA_CHUNK", "256"))
 
 
 class _ChunkCopy:
@@ -215,7 +218,7 @@ def paged_attention_decode(
     maxb = block_tables.shape[1]
     # pages per compute chunk: ~256-token chunks bound wasted reads past each
     # sequence's length while keeping the page DMAs per grid step batched
-    bpc = max(1, min(maxb, int(__import__("os").environ.get("NVT_PA_CHUNK", "256")) // bs))
+    bpc = max(1, min(maxb, _PA_CHUNK // bs))
     while maxb % bpc:  # partial tail chunks would read past the block table
         bpc -= 1
     cmax = pl.cdiv(maxb, bpc)

@@ -175,8 +175,9 @@ def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int,
     e, kw, n = wsets_flat[0].shape  # kw = K/2 (int4 packed) or K
     assert kw * (2 if int4 else 1) == k, (wsets_flat[0].shape, lhs_padded.shape)
     if n_w == 1:
-        kt = min(k, 512)  # K tile (VMEM slicing granularity, no quant groups)
-        assert k % kt == 0, (k, kt)
+        # K tile (VMEM slicing granularity, no quant groups): the largest
+        # divisor of K up to 512 (K=1408 -> 352, etc.)
+        kt = next(d for d in range(min(k, 512), 0, -1) if k % d == 0)
     else:
         kg = wsets_flat[1].shape[1]
         kt = k // kg  # K tile == quant group size

@@ -58,8 +58,10 @@ def _set_mb(arr: jax.Array, m, val: jax.Array, dp: int, num_mb: int) -> jax.Arra
 
 
 def _slice_batch(batch: BatchInfo, m, dp: int, num_mb: int, valid) -> BatchInfo:
-    """Microbatch view of every per-sequence batch array; ``slot_mapping`` is
-    forced to -1 on bubble ticks so cache writes no-op."""
+    """Microbatch view of every per-sequence batch array. Bubble ticks must
+    not write the KV cache: ``slot_mapping`` is forced to -1 (the XLA scatter
+    no-op) AND ``context_lens`` to 0 — the Pallas write kernel plans its runs
+    from positions/context_lens, not slot_mapping (q = ctx - pos = 0 rows)."""
     b, s = batch.token_ids.shape
     get = partial(_get_mb, m=m, dp=dp, num_mb=num_mb)
     slots = get(batch.slot_mapping.reshape(b, s)).reshape(-1)
@@ -68,7 +70,7 @@ def _slice_batch(batch: BatchInfo, m, dp: int, num_mb: int, valid) -> BatchInfo:
         positions=get(batch.positions),
         slot_mapping=jnp.where(valid, slots, -1),
         block_tables=get(batch.block_tables),
-        context_lens=get(batch.context_lens),
+        context_lens=jnp.where(valid, get(batch.context_lens), 0),
         last_q_idx=get(batch.last_q_idx),
         temperatures=get(batch.temperatures),
     )

@@ -84,3 +84,16 @@ def test_pp_extra_microbatches():
     assert r2.model.pp_microbatches == 4
     piped = greedy_tokens(r2, s2, PROMPTS)
     assert base == piped
+
+
+def test_pp_rejects_sequence_parallel_prefill():
+    """Sibling SP rows could pipeline out of order across microbatches
+    (a later chunk attending unwritten sibling KV) — config must reject."""
+    import pytest
+
+    from glm4_moe_nano_vllm_tpu.config import Config
+
+    with pytest.raises(AssertionError, match="pipeline"):
+        Config(model="", model_config=TINY_MOE, prefill_sp_degree=2,
+               prefill_chunk_size=32, kvcache_block_size=16,
+               pipeline_parallel_size=2, num_kvcache_blocks=64)
