@@ -76,17 +76,24 @@ def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
-def _use_pallas_gmm(int4: bool = True) -> bool:
+def _use_pallas_gmm(int4: bool = True, dequant_bytes: int = 0) -> bool:
     import os
 
     if os.environ.get("NVT_FORCE_XLA_QUANT"):
         return False
-    if not int4 and not os.environ.get("NVT_PALLAS_INT8"):
-        # INT8 stays on XLA by default: int8→bf16 is a native convert that
-        # XLA fuses into the (ragged) matmul, and measured on v5e it beats
-        # the Pallas GMM at decode and prefill shapes (e.g. E=32 m=256:
-        # 0.69ms vs 1.08ms). INT4 nibble unpack does NOT fuse — the Pallas
-        # kernel wins there. NVT_PALLAS_INT8=1 re-enables for tuning.
+    if (
+        not int4
+        and not os.environ.get("NVT_PALLAS_INT8")
+        and dequant_bytes < (1 << 30)
+    ):
+        # INT8 stays on XLA by default at moderate sizes: int8→bf16 is a
+        # native convert that XLA fuses into the (ragged) matmul, and
+        # measured on v5e it beats the Pallas GMM at decode and prefill
+        # shapes (e.g. E=32 m=256: 0.69ms vs 1.08ms). INT4 nibble unpack
+        # does NOT fuse — the Pallas kernel wins there. Above ~1 GB the XLA
+        # path's materialized bf16 expert stack risks HBM OOM (observed at
+        # 7.6B INT8), so large stacks route to the Pallas kernel too.
+        # NVT_PALLAS_INT8=1 forces the kernel for tuning.
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -99,7 +106,7 @@ def quant_ragged_dot_pair(
 ) -> tuple[jax.Array, jax.Array]:
     """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
     fused kernel pass shares activation DMAs and instance overhead."""
-    if _use_pallas_gmm(int4="zp" in qp_a):
+    if _use_pallas_gmm(int4="zp" in qp_a, dequant_bytes=_dequant_bytes(qp_a)):
         if "zp" in qp_a:
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
 
@@ -123,6 +130,15 @@ def quant_ragged_dot_pair(
     )
 
 
+def _dequant_bytes(qp: dict) -> int:
+    """bf16 bytes the XLA path would materialize for this weight stack."""
+    qw = qp["qw"]
+    k_mult = 2 if "zp" in qp else 1
+    import numpy as np
+
+    return int(np.prod(qw.shape)) * k_mult * 2
+
+
 def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:
     """Grouped expert matmul with quantized per-expert weights [E, K, M].
 
@@ -130,7 +146,7 @@ def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Arr
     in HBM); otherwise dequantize + ragged_dot (XLA fuses what it can, but
     materializes the expert stack — fallback only).
     """
-    if _use_pallas_gmm(int4="zp" in qp):
+    if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=_dequant_bytes(qp)):
         scale = qp["scale"].astype(jnp.float32)
         if "zp" in qp:
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
