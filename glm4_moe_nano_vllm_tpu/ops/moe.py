@@ -141,13 +141,26 @@ def moe_experts(
         from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
 
         if _use_pallas_gmm(int4="zp" in w_gate):
+            import os
+
+            e = w_gate["qw"].shape[0]
+            if not os.environ.get("NVT_NO_FUSED_DENSE_MOE"):
+                # fully-fused kernel: gate/up/silu/down/combine in one pass,
+                # pipelined weight DMAs (measured 1.49x vs the broadcast-lhs
+                # GMM + XLA combine at 7.6B INT4 decode shapes)
+                from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
+                    moe_dense_fused,
+                )
+
+                w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
+                return moe_dense_fused(x, w_gate, w_up, w_down, w_dense)
             # broadcast-lhs GMM: weights stay packed, zero dispatch movement
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
                 quant_moe_experts_dense,
             )
 
             o = quant_moe_experts_dense(x, w_gate, w_up, w_down)  # [E, T, H]
-            w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], o.shape[0])
+            w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
             return jnp.einsum(
                 "eth,te->th", o.astype(jnp.float32), w_dense
             ).astype(x.dtype)
