@@ -177,10 +177,21 @@ class Glm4MoeForCausalLM:
                     lp["expert_gate"], lp["expert_up"], lp["expert_down"],
                     self.mesh,
                 )
-            else:
+            elif "expert_gate" in lp:  # pp stage stacks travel as scan xs
                 routed = moe_experts(
                     flat, topk_idx, topk_w,
                     lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+                )
+            else:
+                # expert stacks stay OUT of the scan xs: sliced xs feeding a
+                # pallas_call materialize a per-layer copy of the whole
+                # stack (ops/moe.py::moe_experts) — pass full stacks + li
+                routed = moe_experts(
+                    flat, topk_idx, topk_w,
+                    self._full_experts["expert_gate"],
+                    self._full_experts["expert_up"],
+                    self._full_experts["expert_down"],
+                    layer_idx=li,
                 )
             shared = mlp_block(
                 flat, lp["shared_gate"], lp["shared_up"], lp["shared_down"]
@@ -215,10 +226,18 @@ class Glm4MoeForCausalLM:
                 num_mb=self.pp_microbatches,
             )
         else:
+            expert_keys = ("expert_gate", "expert_up", "expert_down")
+            self._full_experts = {k: params["moe_layers"][k]
+                                  for k in expert_keys}
+            if self.moe_ep:  # EP shards E over tp inside shard_map: keep xs
+                scan_params = params["moe_layers"]
+            else:
+                scan_params = {k: v for k, v in params["moe_layers"].items()
+                               if k not in expert_keys}
             (x, km, vm), _ = jax.lax.scan(
                 lambda c, xs: moe_body(c, xs, batch),
                 (x, caches["moe_k"], caches["moe_v"]),
-                (params["moe_layers"],
+                (scan_params,
                  jnp.arange(self.num_moe, dtype=jnp.int32)),
             )
         new_caches["moe_k"], new_caches["moe_v"] = km, vm

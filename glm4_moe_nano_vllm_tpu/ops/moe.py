@@ -127,14 +127,54 @@ def _dense_weights(topk_idx, topk_w, t: int, e: int) -> jax.Array:
     ].add(topk_w)
 
 
+def _slice_layer(w, layer_idx):
+    """Pick layer `layer_idx` (traced) from a [L, ...] stack (array or
+    quant dict)."""
+    ix = lambda v: jax.lax.dynamic_index_in_dim(v, layer_idx, 0,  # noqa: E731
+                                                keepdims=False)
+    if isinstance(w, dict):
+        return {k: ix(v) for k, v in w.items()}
+    return ix(w)
+
+
 def moe_experts(
     x: jax.Array,  # [T, H]
     topk_idx: jax.Array,  # [T, K]
     topk_w: jax.Array,  # [T, K] fp32
-    w_gate,  # [E, H, I] array or quant dict
+    w_gate,  # [E, H, I] array or quant dict; [L, E, ...] with layer_idx
     w_up,
     w_down,  # [E, I, H]
+    layer_idx=None,  # traced int32: stacks are layer-stacked [L, E, ...]
 ) -> jax.Array:
+    """With ``layer_idx``, weight stacks keep their layer dim and the fused
+    kernel selects the layer inside its BlockSpec index maps — XLA cannot
+    fuse a dynamic-slice into a pallas_call operand, so slicing per layer
+    (scan xs or explicit) materializes a full copy of the expert stack
+    (measured ~0.53 ms/layer = 2.07x at 7.6B INT4 decode shapes)."""
+    import os
+
+    if layer_idx is not None:
+        fused_ok = (
+            x.shape[0] <= DENSE_MODE_MAX_TOKENS
+            and isinstance(w_gate, dict)
+            and not os.environ.get("NVT_NO_FUSED_DENSE_MOE")
+        )
+        if fused_ok:
+            from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
+
+            fused_ok = _use_pallas_gmm(int4="zp" in w_gate)
+        if fused_ok:
+            from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
+                moe_dense_fused,
+            )
+
+            e = w_gate["qw"].shape[1]
+            w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
+            return moe_dense_fused(x, w_gate, w_up, w_down, w_dense,
+                                   layer_idx=layer_idx)
+        w_gate = _slice_layer(w_gate, layer_idx)
+        w_up = _slice_layer(w_up, layer_idx)
+        w_down = _slice_layer(w_down, layer_idx)
     if x.shape[0] <= DENSE_MODE_MAX_TOKENS:
         if not isinstance(w_gate, dict):
             return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)

@@ -115,6 +115,37 @@ def pack_rows_u8(nibbles: np.ndarray, group_size: int | None = None) -> np.ndarr
     return packed.reshape(*shp[:-2], k // 2, shp[-1])
 
 
+def pack_rows_i32(nibbles: np.ndarray, group_size: int) -> np.ndarray:
+    """[..., K, M] uint4-values → [..., K/8, M] int32, 8 nibbles per word.
+
+    Group-eighth-split: word row r of group g holds original row
+    (g*G + p*G/8 + r) at nibble position p. Unpacking is 8 shift/and plane
+    extractions in native i32 lanes plus a contiguous plane concat — no
+    8-bit load/convert (sub-32-bit VMEM layouts pay a lane-expansion
+    relayout on TPU; i32 storage avoids it entirely).
+    """
+    k, m = nibbles.shape[-2], nibbles.shape[-1]
+    g = group_size
+    assert k % g == 0 and g % 8 == 0
+    shp = nibbles.shape
+    grouped = nibbles.reshape(*shp[:-2], k // g, 8, g // 8, m).astype(np.uint32)
+    word = np.zeros((*shp[:-2], k // g, g // 8, m), dtype=np.uint32)
+    for p in range(8):
+        word |= grouped[..., p, :, :] << (4 * p)
+    return word.reshape(*shp[:-2], k // 8, m).astype(np.int32)
+
+
+def unpack_rows_i32_np(packed: np.ndarray, group_size: int) -> np.ndarray:
+    """Inverse of pack_rows_i32: [..., K/8, M] int32 → [..., K, M] uint8."""
+    k8, m = packed.shape[-2], packed.shape[-1]
+    g = group_size
+    shp = packed.shape
+    w = packed.reshape(*shp[:-2], 8 * k8 // g, g // 8, m).astype(np.uint32)
+    planes = [((w >> (4 * p)) & 0xF) for p in range(8)]
+    out = np.stack(planes, axis=-3)  # [..., KG, 8, G/8, M]
+    return out.reshape(*shp[:-2], k8 * 8, m).astype(np.uint8)
+
+
 def unpack_rows_u8_np(packed: np.ndarray, group_size: int | None = None) -> np.ndarray:
     k2 = packed.shape[-2]
     g = group_size or 2 * k2
