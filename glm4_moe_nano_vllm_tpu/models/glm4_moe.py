@@ -186,13 +186,19 @@ class Glm4MoeForCausalLM:
                 # expert stacks stay OUT of the scan xs: sliced xs feeding a
                 # pallas_call materialize a per-layer copy of the whole
                 # stack (ops/moe.py::moe_experts) — pass full stacks + li
+                fe = self._full_experts
+                shared_args = None
+                if "shared_gate" in fe:  # fused path: shared expert in-kernel
+                    shared_args = (fe["shared_gate"], fe["shared_up"],
+                                   fe["shared_down"])
                 routed = moe_experts(
                     flat, topk_idx, topk_w,
-                    self._full_experts["expert_gate"],
-                    self._full_experts["expert_up"],
-                    self._full_experts["expert_down"],
-                    layer_idx=li,
+                    fe["expert_gate"], fe["expert_up"], fe["expert_down"],
+                    layer_idx=li, shared=shared_args,
                 )
+                if shared_args is not None:
+                    x = x + routed.reshape(b, s, h)
+                    return (x, kc, vc), None
             shared = mlp_block(
                 flat, lp["shared_gate"], lp["shared_up"], lp["shared_down"]
             )
@@ -226,7 +232,13 @@ class Glm4MoeForCausalLM:
                 num_mb=self.pp_microbatches,
             )
         else:
+            from glm4_moe_nano_vllm_tpu.ops.moe import can_fuse_dense
+
             expert_keys = ("expert_gate", "expert_up", "expert_down")
+            num_tokens = x.shape[0] * x.shape[1]
+            if can_fuse_dense(num_tokens, params["moe_layers"]["expert_gate"]):
+                # shared expert rides the fused kernel too (weight 1.0)
+                expert_keys += ("shared_gate", "shared_up", "shared_down")
             self._full_experts = {k: params["moe_layers"][k]
                                   for k in expert_keys}
             if self.moe_ep:  # EP shards E over tp inside shard_map: keep xs

@@ -137,6 +137,20 @@ def _slice_layer(w, layer_idx):
     return ix(w)
 
 
+def can_fuse_dense(num_tokens: int, w_gate) -> bool:
+    """True when the fully-fused dense-mode Pallas kernel will serve this
+    MoE call (quantized weights, small token count, TPU backend)."""
+    import os
+
+    if num_tokens > DENSE_MODE_MAX_TOKENS or not isinstance(w_gate, dict):
+        return False
+    if os.environ.get("NVT_NO_FUSED_DENSE_MOE"):
+        return False
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
+
+    return _use_pallas_gmm(int4="zp" in w_gate)
+
+
 def moe_experts(
     x: jax.Array,  # [T, H]
     topk_idx: jax.Array,  # [T, K]
@@ -145,25 +159,20 @@ def moe_experts(
     w_up,
     w_down,  # [E, I, H]
     layer_idx=None,  # traced int32: stacks are layer-stacked [L, E, ...]
+    shared=None,  # optional (gate, up, down) shared-expert weights, fused in
 ) -> jax.Array:
     """With ``layer_idx``, weight stacks keep their layer dim and the fused
     kernel selects the layer inside its BlockSpec index maps — XLA cannot
     fuse a dynamic-slice into a pallas_call operand, so slicing per layer
     (scan xs or explicit) materializes a full copy of the expert stack
-    (measured ~0.53 ms/layer = 2.07x at 7.6B INT4 decode shapes)."""
-    import os
+    (measured ~0.53 ms/layer = 2.07x at 7.6B INT4 decode shapes).
 
+    ``shared`` may only be passed when ``can_fuse_dense`` is True (the
+    caller computes the shared expert itself otherwise); it is evaluated
+    in-kernel with combine weight 1.0 — 57 separate tiny quant-matmul calls
+    per step measured ~1.6 ms at 7.6B INT4 decode."""
     if layer_idx is not None:
-        fused_ok = (
-            x.shape[0] <= DENSE_MODE_MAX_TOKENS
-            and isinstance(w_gate, dict)
-            and not os.environ.get("NVT_NO_FUSED_DENSE_MOE")
-        )
-        if fused_ok:
-            from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
-
-            fused_ok = _use_pallas_gmm(int4="zp" in w_gate)
-        if fused_ok:
+        if can_fuse_dense(x.shape[0], w_gate):
             from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
                 moe_dense_fused,
             )
@@ -171,10 +180,13 @@ def moe_experts(
             e = w_gate["qw"].shape[1]
             w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
             return moe_dense_fused(x, w_gate, w_up, w_down, w_dense,
-                                   layer_idx=layer_idx)
+                                   layer_idx=layer_idx, shared=shared)
+        assert shared is None, "shared expert fusion needs the fused path"
         w_gate = _slice_layer(w_gate, layer_idx)
         w_up = _slice_layer(w_up, layer_idx)
         w_down = _slice_layer(w_down, layer_idx)
+    else:
+        assert shared is None
     if x.shape[0] <= DENSE_MODE_MAX_TOKENS:
         if not isinstance(w_gate, dict):
             return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)

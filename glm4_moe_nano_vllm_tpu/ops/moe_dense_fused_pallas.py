@@ -136,35 +136,55 @@ def _proj(x, set_refs, n_w: int, kt: int, nk: int):
     return acc
 
 
+def _mlp(x, gate, up, down, n_w, kt_h, nk_h, kt_i, nk_i):
+    """gate/up -> silu·mul -> down over per-expert sub-refs; [T, H] f32."""
+    # bf16-round g/u like the XLA path (einsum preferred_element_type)
+    g = _proj(x, gate, n_w, kt_h, nk_h).astype(x.dtype)
+    u = _proj(x, up, n_w, kt_h, nk_h).astype(x.dtype)
+    # silu inlined (jax.nn.silu lowers via a closed_call primitive
+    # that trips a lowering-cache KeyError for multi-variant traces)
+    gf = g.astype(jnp.float32)
+    h = ((gf * jax.lax.logistic(gf)).astype(x.dtype) * u)
+    return _proj(h, down, n_w, kt_i, nk_i)
+
+
 def _make_kernel(n_w: int, kt_h: int, nk_h: int, kt_i: int, nk_i: int,
-                 eb: int):
+                 eb: int, nk_sh: int, nk_si: int):
+    """nk_sh/nk_si > 0: a shared-expert MLP (weight 1.0 for every token,
+    reference `/root/reference/nanovllm/models/glm4_moe/moe.py:165-171`) is
+    fused in, computed once at grid step 0 from 3*n_w trailing weight refs."""
+
     def kernel(li_ref, x_ref, *refs):
         del li_ref  # consumed by the BlockSpec index maps only
         gate = refs[0 * n_w: 1 * n_w]
         up = refs[1 * n_w: 2 * n_w]
         down = refs[2 * n_w: 3 * n_w]
-        wc_ref = refs[3 * n_w]
-        out_ref = refs[3 * n_w + 1]
+        shared = refs[3 * n_w: 6 * n_w] if nk_sh else ()
+        wc_ref = refs[-2]
+        out_ref = refs[-1]
 
         x = x_ref[...]  # [T, H]
         acc = None
         for el in range(eb):  # static unroll over the eb resident experts
             sub = lambda rs: [r.at[0, el] for r in rs]  # noqa: E731
-            # bf16-round g/u like the XLA path (einsum preferred_element_type)
-            g = _proj(x, sub(gate), n_w, kt_h, nk_h).astype(x.dtype)
-            u = _proj(x, sub(up), n_w, kt_h, nk_h).astype(x.dtype)
-            # silu inlined (jax.nn.silu lowers via a closed_call primitive
-            # that trips a lowering-cache KeyError for multi-variant traces)
-            gf = g.astype(jnp.float32)
-            h = ((gf * jax.lax.logistic(gf)).astype(x.dtype) * u)
-            o = _proj(h, sub(down), n_w, kt_i, nk_i).astype(x.dtype)
+            o = _mlp(x, sub(gate), sub(up), sub(down),
+                     n_w, kt_h, nk_h, kt_i, nk_i).astype(x.dtype)
             w = wc_ref[el, 0, :]  # [T] f32 combine weights for this expert
             contrib = o.astype(jnp.float32) * w[:, None]
             acc = contrib if acc is None else acc + contrib
 
         @pl.when(pl.program_id(0) == 0)
         def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+            if nk_sh:
+                sb = lambda rs: [r.at[0] for r in rs]  # noqa: E731
+                out_ref[...] = _mlp(
+                    x, sb(shared[0 * n_w: 1 * n_w]),
+                    sb(shared[1 * n_w: 2 * n_w]),
+                    sb(shared[2 * n_w: 3 * n_w]),
+                    n_w, kt_h, nk_sh, kt_i, nk_si,
+                )
+            else:
+                out_ref[...] = jnp.zeros_like(out_ref)
 
         out_ref[...] += acc
 
@@ -179,32 +199,39 @@ def _flat_set(w):
     return (w,)
 
 
-def _fused_call(x_p, wc, li, *wsets_flat, interpret: bool = False):
-    """wsets_flat: layer-stacked [L, E, ...] tensors; ``li`` (traced int32
+def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
+    """wsets_flat: layer-stacked [L, E, ...] tensors (3*n_w routed sets,
+    then optionally 3*n_w shared-expert sets [L, ...]); ``li`` (traced int32
     scalar) picks the layer inside the BlockSpec index maps. Passing the
     FULL stacks + index avoids the per-layer slice XLA would otherwise
     materialize in front of the kernel (a pallas_call can't fuse a
     dynamic-slice; measured ~0.53 ms/layer of pure copy at 7.6B INT4)."""
-    n_w = len(wsets_flat) // 3
-    e = wsets_flat[0].shape[1]
+    routed = wsets_flat[: 3 * n_w]
+    shared = wsets_flat[3 * n_w:]
+    e = routed[0].shape[1]
     t_pad, h = x_p.shape
-    i = wsets_flat[0].shape[-1]
+    i = routed[0].shape[-1]
 
-    def tiles(set_start, k):
+    def tiles(sets, set_start, k, kdim):
         if n_w == 1:
             kt = next(d for d in range(min(k, 512), 0, -1) if k % d == 0)
         else:
-            kg = wsets_flat[set_start + n_w - 1].shape[2]
+            kg = sets[set_start + n_w - 1].shape[kdim]
             kt = k // kg  # K tile == quant group
         return kt, k // kt
 
-    kt_h, nk_h = tiles(0, h)
-    kt_i, nk_i = tiles(2 * n_w, i)
+    kt_h, nk_h = tiles(routed, 0, h, 2)
+    kt_i, nk_i = tiles(routed, 2 * n_w, i, 2)
+    nk_sh = nk_si = 0
+    if shared:
+        i_sh = shared[0].shape[-1]  # Is = n_shared * Im; kt_i divides it
+        assert i_sh % kt_i == 0 and h % kt_h == 0
+        nk_sh, nk_si = h // kt_h, i_sh // kt_i
 
     # experts resident per grid step: fewer, larger weight DMAs amortize
     # per-step pipeline overhead (each block is double-buffered)
     per_expert = sum(
-        int(np.prod(w.shape[2:])) * w.dtype.itemsize for w in wsets_flat
+        int(np.prod(w.shape[2:])) * w.dtype.itemsize for w in routed
     )
     budget = int(os.environ.get("NVT_FUSED_MOE_VMEM_MB", "48")) * (1 << 20)
     eb = max(1, min(e, budget // (2 * max(per_expert, 1))))
@@ -212,10 +239,15 @@ def _fused_call(x_p, wc, li, *wsets_flat, interpret: bool = False):
         eb -= 1
 
     in_specs = [pl.BlockSpec((t_pad, h), lambda e, li: (0, 0))]
-    for j, w in enumerate(wsets_flat):
+    for w in routed:
         in_specs.append(
             pl.BlockSpec((1, eb) + w.shape[2:],
                          lambda e, li, _nd=w.ndim: (li[0], e) + (0,) * (_nd - 2))
+        )
+    for w in shared:  # [L, ...]: layer-indexed, constant across the grid
+        in_specs.append(
+            pl.BlockSpec((1,) + w.shape[1:],
+                         lambda e, li, _nd=w.ndim: (li[0],) + (0,) * (_nd - 1))
         )
     in_specs.append(pl.BlockSpec((eb, 1, t_pad), lambda e, li: (e, 0, 0)))
 
@@ -226,7 +258,7 @@ def _fused_call(x_p, wc, li, *wsets_flat, interpret: bool = False):
         out_specs=pl.BlockSpec((t_pad, h), lambda e, li: (0, 0)),
     )
     out = pl.pallas_call(
-        _make_kernel(n_w, kt_h, nk_h, kt_i, nk_i, eb),
+        _make_kernel(n_w, kt_h, nk_h, kt_i, nk_i, eb, nk_sh, nk_si),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, h), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -238,20 +270,28 @@ def _fused_call(x_p, wc, li, *wsets_flat, interpret: bool = False):
 
 
 def moe_dense_fused(x, w_gate, w_up, w_down, w_comb_te, layer_idx=None,
-                    interpret: bool = False):
+                    shared=None, interpret: bool = False):
     """Dense-mode MoE: every expert over all T tokens, fused combine.
 
     x [T, H]; w_* per-expert stacks (arrays or quant dicts, all same
     variant) — either single-layer [E, ...] (``layer_idx`` None) or
     layer-stacked [L, E, ...] with ``layer_idx`` a traced int32 selecting
     the layer in-kernel (no slice copy); w_comb_te [T, E] f32 combine
-    weights (0 for unselected). Returns [T, H] in x.dtype.
+    weights (0 for unselected); ``shared`` an optional (gate, up, down)
+    tuple of shared-expert weights (same layer convention) fused in with
+    weight 1.0. Returns [T, H] in x.dtype.
     """
     t, h = x.shape
     sets = (*_flat_set(w_gate), *_flat_set(w_up), *_flat_set(w_down))
     assert len(sets) % 3 == 0
+    n_w = len(sets) // 3
+    sh_sets = ()
+    if shared is not None:
+        sh_sets = tuple(w for p in shared for w in _flat_set(p))
+        assert len(sh_sets) == 3 * n_w
     if layer_idx is None:
         sets = tuple(w[None] for w in sets)  # L = 1
+        sh_sets = tuple(w[None] for w in sh_sets)
         layer_idx = 0
     e = sets[0].shape[1]
     t_pad = -(-t // 8) * 8
@@ -259,5 +299,6 @@ def moe_dense_fused(x, w_gate, w_up, w_down, w_comb_te, layer_idx=None,
     wc = jnp.zeros((e, 1, t_pad), jnp.float32).at[:, 0, :t].set(
         w_comb_te.astype(jnp.float32).T
     )
-    out = _fused_call(x_p, wc, layer_idx, *sets, interpret=interpret)
+    out = _fused_call(x_p, wc, layer_idx, n_w, *sets, *sh_sets,
+                      interpret=interpret)
     return out[:t].astype(x.dtype)

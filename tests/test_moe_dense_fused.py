@@ -58,6 +58,31 @@ def _qstack(rng, k, n, method):
     return d
 
 
+def test_fused_dense_moe_with_shared():
+    """Shared expert fused in-kernel (weight 1.0) == routed + separate MLP."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
+    wg = jnp.asarray(rng.standard_normal((E, H, I)) * 0.05, jnp.bfloat16)
+    wu = jnp.asarray(rng.standard_normal((E, H, I)) * 0.05, jnp.bfloat16)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.05, jnp.bfloat16)
+    i_sh = 2 * I  # n_shared = 2: wider shared intermediate
+    sg = jnp.asarray(rng.standard_normal((H, i_sh)) * 0.05, jnp.bfloat16)
+    su = jnp.asarray(rng.standard_normal((H, i_sh)) * 0.05, jnp.bfloat16)
+    sd = jnp.asarray(rng.standard_normal((i_sh, H)) * 0.05, jnp.bfloat16)
+    idx, tw, wc = _routing(rng)
+
+    from glm4_moe_nano_vllm_tpu.models.common import mlp_block
+
+    ref = (moe_experts_dense(x, idx, tw, wg, wu, wd).astype(np.float32)
+           + mlp_block(x, sg, su, sd).astype(np.float32))
+    got = moe_dense_fused(x, wg, wu, wd, wc, shared=(sg, su, sd),
+                          interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.08, rtol=0.08,
+    )
+
+
 @pytest.mark.parametrize("method", ["awq", "int8"])
 def test_fused_dense_moe_quant(method):
     rng = np.random.default_rng(1)
