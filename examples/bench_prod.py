@@ -72,7 +72,7 @@ def main():
         enforce_eager=True,
         decode_buckets=(num_seqs,),
         prefill_seq_buckets=(16, num_seqs),
-        prefill_len_buckets=(128, 256),
+        prefill_len_buckets=(32, 64, 128, 256),
         dtype="bfloat16",
         kv_cache_dtype="bfloat16",
         num_scheduler_steps=64,
@@ -85,9 +85,14 @@ def main():
                          max_tokens=int(rng.integers(64, 128)),
                          ignore_eos=True) for _ in range(num_seqs)]
 
-    llm.generate(prompts[:num_seqs],
-                 [SamplingParams(temperature=0.6, max_tokens=4,
-                                 ignore_eos=True)] * num_seqs, use_tqdm=False)
+    # Two warmup rounds: the first compiles the full-prompt prefill shapes
+    # and populates the prefix cache; the second compiles the cache-hit
+    # re-prefill shapes the measured run will actually use.
+    for _ in range(2):
+        llm.generate(prompts[:num_seqs],
+                     [SamplingParams(temperature=0.6, max_tokens=4,
+                                     ignore_eos=True)] * num_seqs,
+                     use_tqdm=False)
     llm.metrics.reset()
 
     t0 = time.perf_counter()

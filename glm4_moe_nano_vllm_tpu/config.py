@@ -182,6 +182,11 @@ class Config:
     # as sibling rows of the same step (rows are dp-sharded, so a long prompt
     # prefills across the dp axis in one program). 1 = one chunk per step.
     prefill_sp_degree: int = 1
+    # Length-grouped prefill admission: prefill programs are [B, S]-padded,
+    # so one long row pads every row in the step to its len bucket. When
+    # True the queue head's chunk fixes each step's bucket; longer prompts
+    # chunk down to it and shorter waiting prompts defer to a later step.
+    prefill_len_grouping: bool = True
     decode_buckets: tuple = DEFAULT_DECODE_BUCKETS
     prefill_seq_buckets: tuple = DEFAULT_PREFILL_SEQ_BUCKETS
     prefill_len_buckets: tuple = DEFAULT_PREFILL_LEN_BUCKETS

@@ -119,6 +119,28 @@ class BlockManager:
         # A fully-cached prompt must still compute >=1 query token for logits.
         seq.num_computed_tokens = min(seq.num_cached_tokens, len(seq) - 1)
 
+    def probe_cached_tokens(self, seq: Sequence) -> int:
+        """Read-only prefix-cache probe: leading tokens allocate() would hit.
+
+        Mirrors allocate()'s hit detection (hash chain + token-id collision
+        check) without taking blocks. The scheduler uses it to length-group
+        prefill admissions by their *actual* query span — a fully-cached
+        prompt's chunk is one block, not its full length."""
+        if not self.enable_prefix_caching:
+            return 0
+        cached = 0
+        prefix_hash = -1
+        for i in range(seq.num_blocks):
+            token_ids = seq.block(i)
+            if len(token_ids) != self.block_size:
+                break
+            prefix_hash = hash_block_tokens(token_ids, prefix_hash)
+            cached_id = self.hash_to_block_id.get(prefix_hash, -1)
+            if cached_id == -1 or self.blocks[cached_id].token_ids != token_ids:
+                break
+            cached += self.block_size
+        return min(cached, len(seq) - 1)
+
     def deallocate(self, seq: Sequence) -> None:
         for block_id in reversed(seq.block_table):
             block = self.blocks[block_id]

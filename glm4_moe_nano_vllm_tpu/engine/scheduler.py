@@ -18,12 +18,20 @@ until done. The reference prefills whole prompts in a single step
 
 from __future__ import annotations
 
+import bisect
 from collections import deque
 from dataclasses import dataclass
 
 from glm4_moe_nano_vllm_tpu.config import Config
 from glm4_moe_nano_vllm_tpu.engine.block_manager import BlockManager
 from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+def _bucket_of(n: int, buckets: tuple) -> int:
+    """Smallest bucket >= n (last bucket if n exceeds all); host-pure twin
+    of model_runner.bucket_of (this module must not import jax)."""
+    i = bisect.bisect_left(buckets, n)
+    return buckets[min(i, len(buckets) - 1)]
 
 
 @dataclass
@@ -58,6 +66,8 @@ class Scheduler:
         self.max_model_len = config.max_model_len
         self.num_decode_steps = config.num_scheduler_steps
         self.prefill_sp_degree = max(1, config.prefill_sp_degree)
+        self.prefill_len_grouping = config.prefill_len_grouping
+        self.prefill_len_buckets = config.prefill_len_buckets
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -84,6 +94,20 @@ class Scheduler:
         q_starts: list[int] = []
         budget = self.max_num_batched_tokens
 
+        # Length grouping: prefill programs are [B, S]-padded, so one long
+        # row pads EVERY row to its len bucket. The first emitted row fixes
+        # the step's bucket; longer prompts chunk down to it and shorter
+        # waiting prompts are deferred to a later step (the queue head
+        # anchors the bucket, so deferral cannot starve).
+        step_cap: list = [None]
+
+        def cap_q(q: int) -> int:
+            if not self.prefill_len_grouping:
+                return q
+            if step_cap[0] is None:
+                step_cap[0] = _bucket_of(q, self.prefill_len_buckets)
+            return min(q, step_cap[0])
+
         def emit_rows(seq, budget):
             """Schedule up to ``prefill_sp_degree`` chunk rows of one prompt in
             this step (sequence-parallel prefill: sibling rows attend each
@@ -95,7 +119,7 @@ class Scheduler:
             bs = self.block_manager.block_size
             while (remaining > 0 and budget > 0 and rows < self.prefill_sp_degree
                    and len(scheduled) < self.max_num_seqs):
-                q = min(remaining, self.prefill_chunk_size, budget)
+                q = cap_q(min(remaining, self.prefill_chunk_size, budget))
                 if self.prefill_sp_degree > 1 and q < remaining:
                     # non-final sibling chunks must end on a block boundary:
                     # same-step rows may not share a KV block (the Pallas
@@ -119,19 +143,31 @@ class Scheduler:
             if not seq.prompt_done:
                 budget = emit_rows(seq, budget)
 
-        # Fresh admissions from the waiting queue (FCFS).
-        while self.waiting and len(self.running) < self.max_num_seqs and len(scheduled) < self.max_num_seqs:
-            seq = self.waiting[0]
+        # Fresh admissions from the waiting queue (FCFS, head-anchored; with
+        # length grouping, seqs whose chunk is shorter than the step's bucket
+        # are skipped — they stay waiting and set their own bucket once they
+        # reach the head).
+        idx = 0
+        while (self.waiting and idx < len(self.waiting) and budget > 0
+               and len(self.running) < self.max_num_seqs
+               and len(scheduled) < self.max_num_seqs):
+            seq = self.waiting[idx]
             if not self.block_manager.can_allocate(seq):
                 break
+            q_est = len(seq) - self.block_manager.probe_cached_tokens(seq)
             # Admission requires room for at least one full chunk (or the whole
             # short prompt) so tiny leftover budgets don't shred prompts.
-            if min(len(seq), self.prefill_chunk_size) > budget:
+            if min(q_est, self.prefill_chunk_size) > budget:
                 break
+            if (self.prefill_len_grouping and step_cap[0] is not None
+                    and _bucket_of(min(q_est, step_cap[0]),
+                                   self.prefill_len_buckets) < step_cap[0]):
+                idx += 1
+                continue
             self.block_manager.allocate(seq)
             # prefix-cache hits shrink this chunk's query span
             seq.status = SequenceStatus.RUNNING
-            self.waiting.popleft()
+            del self.waiting[idx]
             self.running.append(seq)
             budget = emit_rows(seq, budget)
         if scheduled:

@@ -38,15 +38,58 @@ def test_prefill_then_decode():
     batch = s.schedule()
     assert batch.is_prefill
     assert batch.seqs == [a, b]
-    assert batch.q_lens == [10, 20]
+    # length grouping: a (head) sets the step's 16-token len bucket, so b's
+    # 20-token prompt chunks down to the cap and continues next step
+    assert batch.q_lens == [10, 16]
     s.postprocess(batch, [100, 101])
-    assert a.token_ids[-1] == 100 and b.token_ids[-1] == 101
+    assert a.token_ids[-1] == 100
+    assert b.num_computed_tokens == 16 and len(b.token_ids) == 20
+    batch1b = s.schedule()
+    assert batch1b.is_prefill and batch1b.seqs == [b] and batch1b.q_lens == [4]
+    s.postprocess(batch1b, [101])
+    assert b.token_ids[-1] == 101
     batch2 = s.schedule()
     assert not batch2.is_prefill
     assert batch2.q_lens == [1, 1]
     assert batch2.num_steps == 1
     s.postprocess(batch2, [[102], [103]])
     assert a.num_completion_tokens == 2
+
+
+def test_prefill_len_grouping_defers_short_seqs():
+    # head (60 tokens -> 64 bucket) anchors the step; the 10-token seq is
+    # deferred while the 50-token seq shares the bucket; next step runs the
+    # short one alone in its own 16 bucket
+    s = make_scheduler(chunk=64)
+    # distinct token streams: shared prefixes would legitimately shrink the
+    # later seqs' query spans via the prefix-cache probe
+    long1 = Sequence(list(range(100, 160)), SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True))
+    short = Sequence(list(range(300, 310)), SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True))
+    long2 = Sequence(list(range(500, 550)), SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True))
+    for x in (long1, short, long2):
+        s.add(x)
+    b1 = s.schedule()
+    assert b1.is_prefill and b1.seqs == [long1, long2]
+    assert b1.q_lens == [60, 50]
+    assert short.status == SequenceStatus.WAITING
+    s.postprocess(b1, [0, 0])
+    b2 = s.schedule()
+    assert b2.is_prefill and b2.seqs == [short] and b2.q_lens == [10]
+    s.postprocess(b2, [0])
+    b3 = s.schedule()
+    assert not b3.is_prefill and len(b3.seqs) == 3
+
+
+def test_prefill_len_grouping_off_restores_fcfs():
+    s = make_scheduler()
+    s.prefill_len_grouping = False
+    a, b = seq_of(10), seq_of(20)
+    s.add(a), s.add(b)
+    batch = s.schedule()
+    assert batch.q_lens == [10, 20]
 
 
 def test_chunked_prefill_long_prompt():
