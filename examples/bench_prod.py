@@ -50,7 +50,10 @@ def main():
         first_k_dense_replace=1,
         routed_scaling_factor=1.5,
         quant=QuantConfig(method=quant, bits=4 if quant == "awq" else 8,
-                          group_size=128),
+                          group_size=128,
+                          # tied bf16 embed/lm_head streams 537 MB per decode
+                          # micro-step at this vocab; int4 cuts it 4x
+                          quantize_lm_head=os.environ.get("PROD_QHEAD", "1") == "1"),
     )
     # 128 is the decode sweet spot: MXU weight-tile streaming at T<=128
     # rows costs the same per expert regardless of T (measured: dot time
@@ -74,7 +77,7 @@ def main():
         prefill_seq_buckets=(16, num_seqs),
         prefill_len_buckets=(32, 64, 128, 256),
         dtype="bfloat16",
-        kv_cache_dtype="bfloat16",
+        kv_cache_dtype=os.environ.get("PROD_KV", "bfloat16"),
         num_scheduler_steps=64,
     )
 

@@ -36,6 +36,13 @@ class QuantConfig:
     bits: int = 4
     group_size: int = 128
     zero_point: bool = True
+    # Quantize the LM head (and, when tied, the embedding table) with the
+    # same scheme. AWQ checkpoints ship an fp16 lm_head; at decode it is
+    # re-read every micro-step (bf16 [H, V] streams ~0.5-1 GB at production
+    # vocab sizes). Quantizing at load time cuts that read 4x (int4) at a
+    # small logits-precision cost; the tied embedding gather dequantizes
+    # the same table, so embed/logits stay consistent.
+    quantize_lm_head: bool = False
 
     @staticmethod
     def from_hf(qc: dict | None) -> "QuantConfig | None":

@@ -112,7 +112,15 @@ def mlp_block(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.
     return linear(silu_and_mul(linear(x, wg), linear(x, wu)), wd)
 
 
-def embed(token_ids: jax.Array, embedding: jax.Array) -> jax.Array:
+def embed(token_ids: jax.Array, embedding, dtype=jnp.bfloat16) -> jax.Array:
+    """Token embedding gather. ``embedding`` is either a dense [V, H] table
+    or (tied + QuantConfig.quantize_lm_head) the [H, V] LM-head quant dict,
+    whose gathered columns are dequantized on the fly."""
+    if isinstance(embedding, dict):
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_gather_rows
+
+        flat = quant_gather_rows(embedding, token_ids.reshape(-1), dtype)
+        return flat.reshape(*token_ids.shape, flat.shape[-1])
     return jnp.take(embedding, token_ids, axis=0)
 
 
@@ -130,6 +138,8 @@ def compute_logits(
     """
     last = jnp.take_along_axis(hidden, last_q_idx[:, None, None], axis=1)[:, 0]
     last = rms_norm(last, final_norm_w, eps)
+    if isinstance(lm_head, dict):  # quantized head (QuantConfig.quantize_lm_head)
+        return linear(last, lm_head).astype(jnp.float32)
     return jnp.dot(last, lm_head, preferred_element_type=jnp.float32)
 
 

@@ -108,12 +108,22 @@ class Glm4MoeForCausalLM:
         })
 
         params = {
-            "embed": init_linear(jax.random.fold_in(key, 1), (cfg.vocab_size, H), dt),
             "dense_layers": dense_layers,
             "moe_layers": moe_layers,
             "final_norm": jnp.ones((H,), dt),
         }
-        if not cfg.tie_word_embeddings:
+        q_head = qc is not None and qc.quantize_lm_head
+        if q_head:
+            # [H, V] quant dict; when tied it also serves the embedding
+            # gather (models/common.py embed)
+            params["lm_head"] = init_weight(
+                jax.random.fold_in(key, 2), (H, cfg.vocab_size), dt, qc
+            )
+        if not (q_head and cfg.tie_word_embeddings):
+            params["embed"] = init_linear(
+                jax.random.fold_in(key, 1), (cfg.vocab_size, H), dt
+            )
+        if not cfg.tie_word_embeddings and not q_head:
             params["lm_head"] = init_linear(
                 jax.random.fold_in(key, 2), (H, cfg.vocab_size), dt
             )
@@ -141,7 +151,8 @@ class Glm4MoeForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
-        x = embed(batch.token_ids, params["embed"])
+        x = embed(batch.token_ids, params.get("embed", params.get("lm_head")),
+                  self.dtype)
 
         nb = self.num_blocks
 

@@ -65,11 +65,19 @@ class Qwen3ForCausalLM:
             layers["bk"] = jnp.zeros((L, nkv * d), dt)
             layers["bv"] = jnp.zeros((L, nkv * d), dt)
         params = {
-            "embed": init_linear(ks[7], (cfg.vocab_size, H), dt),
             "layers": layers,
             "final_norm": jnp.ones((H,), dt),
         }
-        if not cfg.tie_word_embeddings:
+        q_head = qc is not None and qc.quantize_lm_head
+        if q_head:
+            # [H, V] quant dict; when tied it also serves the embedding
+            # gather (models/common.py embed)
+            params["lm_head"] = init_weight(
+                jax.random.fold_in(key, 99), (H, cfg.vocab_size), dt, qc
+            )
+        if not (q_head and cfg.tie_word_embeddings):
+            params["embed"] = init_linear(ks[7], (cfg.vocab_size, H), dt)
+        if not cfg.tie_word_embeddings and not q_head:
             params["lm_head"] = init_linear(
                 jax.random.fold_in(key, 99), (H, cfg.vocab_size), dt
             )
@@ -91,7 +99,8 @@ class Qwen3ForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
-        x = embed(batch.token_ids, params["embed"])
+        x = embed(batch.token_ids, params.get("embed", params.get("lm_head")),
+                  self.dtype)
 
         nb = self.num_blocks
 

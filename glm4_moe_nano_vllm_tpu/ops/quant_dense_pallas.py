@@ -1,0 +1,96 @@
+"""Pallas TPU fused dequant+matmul for a single dense weight (E = 1).
+
+``quant_gmm`` (ops/quant_gmm_pallas.py) is built for sorted MoE rows: its
+row-chunk loop re-dequantizes the resident weight tile per chunk and its
+manual DMAs are issued and awaited serially inside each grid instance —
+pathological for a dense call with few rows and a huge N (the [2048, 65536]
+INT4 LM head measured 2.8 ms vs 0.62 ms for the bf16 dot it replaces).
+
+This kernel is the dense shape done right: grid over N tiles with standard
+BlockSpecs, so weight-block DMAs for tile n+1 overlap tile n's compute
+(automatic double buffering), the whole (row-padded) lhs stays VMEM-resident,
+and each weight tile is dequantized exactly once. Replaces the reference's
+dequant-then-``F.linear`` (`/root/reference/nanovllm/layers/
+linear_awq_new.py:254-255`) for large single matmuls (LM head, wide
+projections) where the XLA path's materialized bf16 dequant transient is too
+large to be fusion-friendly.
+
+Storage as ops/quant.py: int4 = (qw u8 [K/2, N] group-half-split nibbles,
+zp u8 [KG, N], scale f32 [KG, N]); int8 = (qw i8 [K, N], scale f32 [KG, N]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(n_w: int, kt: int, nk: int):
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        x = x_ref[...]  # [B_pad, K]
+        acc = None
+        for ki in range(nk):
+            scale = refs[n_w - 1][ki:ki + 1, :].astype(jnp.float32)
+            if n_w == 3:  # int4
+                q32 = refs[0][ki * (kt // 2):(ki + 1) * (kt // 2), :].astype(
+                    jnp.int32
+                )
+                q = jnp.concatenate([q32 & 0x0F, q32 >> 4], axis=0)
+                q = q - refs[1][ki:ki + 1, :].astype(jnp.int32)
+                w = (q.astype(jnp.float32) * scale).astype(x.dtype)
+            else:  # int8
+                q = refs[0][ki * kt:(ki + 1) * kt, :].astype(jnp.float32)
+                w = (q * scale).astype(x.dtype)
+            p = jnp.dot(x[:, ki * kt:(ki + 1) * kt], w,
+                        preferred_element_type=jnp.float32)
+            acc = p if acc is None else acc + p
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dense_call(x_p, *wset, interpret: bool = False):
+    n_w = len(wset)
+    b_pad, k = x_p.shape
+    n = wset[0].shape[-1]
+    kg = wset[-1].shape[0]
+    kt = k // kg  # K tile == quant group
+    # N tile: biggest divisor of N <= 512 keeps the weight block ~<= 0.5 MB
+    # (double-buffered) while amortizing per-step pipeline overhead
+    tn = next(d for d in range(min(n, 512), 0, -1) if n % d == 0)
+
+    in_specs = [pl.BlockSpec((b_pad, k), lambda i: (0, 0))]
+    for w in wset:
+        in_specs.append(pl.BlockSpec((w.shape[0], tn), lambda i: (0, i)))
+    out = pl.pallas_call(
+        _make_kernel(n_w, kt, k // kt),
+        grid=(n // tn,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b_pad, tn), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x_p, *wset)
+    return out
+
+
+def quant_dense_matmul(x: jax.Array, qp: dict, interpret: bool = False):
+    """y = x @ dequant(qp) for a single [K, N] quant dict; returns x.dtype."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    b = x2.shape[0]
+    b_pad = -(-b // 8) * 8
+    if b_pad != b:
+        x2 = jnp.zeros((b_pad, k), x2.dtype).at[:b].set(x2)
+    if "zp" in qp:
+        wset = (qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32))
+    else:
+        wset = (qp["qw"], qp["scale"].astype(jnp.float32))
+    out = _dense_call(x2, *wset, interpret=interpret)
+    return out[:b].reshape(*lead, -1).astype(x.dtype)

@@ -48,6 +48,30 @@ def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
     return w.reshape(*qw.shape[:-2], k, m).astype(dtype)
 
 
+def quant_gather_rows(qp: dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantized rows of the *logical* weight's transpose: for a quant dict
+    of [K, M] (e.g. a [H, V] LM head), returns dequant(w).T[ids] = [N, K].
+
+    Serves the tied-embedding gather when the LM head is quantized
+    (QuantConfig.quantize_lm_head): only the gathered columns are
+    dequantized, so the embedding read stays O(tokens), not O(vocab)."""
+    qw, scale = qp["qw"], qp["scale"]
+    cols_q = jnp.take(qw, ids, axis=1)  # [K/2 or K, N]
+    cols_s = jnp.take(scale, ids, axis=1).astype(jnp.float32)  # [KG, N]
+    kg = scale.shape[0]
+    n = ids.shape[0]
+    if "zp" in qp:
+        group = 2 * qw.shape[0] // kg
+        q = unpack_rows(cols_q, group).astype(jnp.float32)  # [K, N]
+        z = jnp.take(qp["zp"], ids, axis=1).astype(jnp.float32)  # [KG, N]
+        q = q.reshape(kg, group, n) - z[:, None, :]
+    else:
+        group = qw.shape[0] // kg
+        q = cols_q.astype(jnp.float32).reshape(kg, group, n)
+    w = (q * cols_s[:, None, :]).reshape(kg * group, n)
+    return w.T.astype(dtype)
+
+
 def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
     """y = x @ dequant(qp): fused Pallas kernel on TPU (weights stay int4
     packed / int8 in HBM), XLA fused dequant otherwise."""
@@ -58,13 +82,23 @@ def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
         and qp["qw"].shape[1] % 128 == 0  # N lane alignment
         and x.shape[-1] == kq
     ):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if x2.shape[0] <= 256:
+            # decode-shaped: whole lhs VMEM-resident, pipelined weight-tile
+            # DMAs, one dequant per tile (quant_gmm's row-chunk loop
+            # re-dequantizes per chunk and serializes its DMAs — 4.5x slower
+            # on the [2048, 65536] INT4 LM head)
+            from glm4_moe_nano_vllm_tpu.ops.quant_dense_pallas import (
+                quant_dense_matmul,
+            )
+
+            return quant_dense_matmul(x, qp)
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
             quant_gmm,
             quant_gmm_int8,
         )
 
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
         gs = jnp.asarray([x2.shape[0]], jnp.int32)
         scale = qp["scale"].astype(jnp.float32)[None]
         if "zp" in qp:

@@ -121,9 +121,20 @@ _MLP_MAP = {
 }
 
 
+def _tied_quant_head(cfg) -> bool:
+    """Tied embeddings + quantize_lm_head: the [H, V] quant dict under
+    "lm_head" is the only embedding/head parameter (models/common.py embed
+    gathers its columns)."""
+    return (cfg.tie_word_embeddings and cfg.quant is not None
+            and cfg.quant.quantize_lm_head)
+
+
 def _route_qwen3(filler: _TreeFiller, name: str, tensor: np.ndarray, cfg) -> bool:
     if name == "model.embed_tokens.weight":
-        filler.put(("embed",), tensor)
+        if _tied_quant_head(cfg):
+            filler.put(("lm_head",), tensor.T)  # quantized on the fly
+        else:
+            filler.put(("embed",), tensor)
         return True
     if name == "model.norm.weight":
         filler.put(("final_norm",), tensor)
@@ -150,7 +161,10 @@ _SHARED_RE = re.compile(r"^mlp\.shared_experts\.(gate|up|down)_proj\.weight$")
 
 def _route_glm4_moe(filler: _TreeFiller, name: str, tensor: np.ndarray, cfg) -> bool:
     if name == "model.embed_tokens.weight":
-        filler.put(("embed",), tensor)
+        if _tied_quant_head(cfg):
+            filler.put(("lm_head",), tensor.T)  # quantized on the fly
+        else:
+            filler.put(("embed",), tensor)
         return True
     if name == "model.norm.weight":
         filler.put(("final_norm",), tensor)

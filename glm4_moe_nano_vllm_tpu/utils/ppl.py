@@ -21,6 +21,10 @@ def _full_logits(model, params, hidden):
     if lm_head is None:
         lm_head = params["embed"].T
     h = rms_norm(hidden, params["final_norm"], model.cfg.rms_norm_eps)
+    if isinstance(lm_head, dict):  # QuantConfig.quantize_lm_head
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_matmul
+
+        return quant_matmul(h, lm_head).astype(jnp.float32)
     return jnp.dot(h, lm_head, preferred_element_type=jnp.float32)
 
 

@@ -187,3 +187,117 @@ def test_quantized_engine_generates(qwen3_ckpt):
         batch = sched.schedule()
         sched.postprocess(batch, runner.run(batch))
     assert len(seq.completion_token_ids) == 6
+
+
+# ---- quantized LM head / tied embedding (QuantConfig.quantize_lm_head) ------
+
+@pytest.mark.parametrize("method", ["awq", "int8"])
+def test_quant_gather_rows_matches_dequant(method):
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_gather_rows
+
+    rng = np.random.default_rng(7)
+    k, v, g = 64, 40, 16
+    w = rng.normal(size=(k, v)).astype(np.float32) * 0.02
+    if method == "awq":
+        qp = {}
+        qw, qz, sc = quantize_awq(w, g)
+        qw2, zp2, sc2 = repack_awq_for_tpu(qw, qz, sc)
+        qp = {"qw": jnp.asarray(qw2), "zp": jnp.asarray(zp2),
+              "scale": jnp.asarray(sc2, jnp.float32)}
+    else:
+        qw, sc = quantize_int8(w, g)
+        qp = {"qw": jnp.asarray(qw), "scale": jnp.asarray(sc, jnp.float32)}
+    ids = jnp.asarray([0, 3, 39, 7, 3], jnp.int32)
+    got = np.asarray(quant_gather_rows(qp, ids, jnp.float32))
+    want = np.asarray(dequantize(qp, jnp.float32)).T[np.asarray(ids)]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def qwen3_tied_ckpt(tmp_path_factory):
+    import torch
+    from transformers.models.qwen3 import Qwen3Config
+    from transformers.models.qwen3.modeling_qwen3 import Qwen3ForCausalLM
+
+    torch.manual_seed(1)
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=1024, rope_theta=10000.0,
+        tie_word_embeddings=True, torch_dtype="float32",
+    )
+    model = Qwen3ForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("qwen3_tiny_tied")
+    model.save_pretrained(path)
+    return str(path)
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_quantized_lm_head_ppl(qwen3_ckpt, qwen3_tied_ckpt, tied):
+    """quantize_lm_head replaces embed/lm_head with a [H, V] quant dict; the
+    PPL stays within the same relative gate as weight quantization."""
+    from glm4_moe_nano_vllm_tpu.utils.ppl import perplexity
+
+    path = qwen3_tied_ckpt if tied else qwen3_ckpt
+    rng = np.random.default_rng(1)
+    seqs = [rng.integers(1, 250, size=48).tolist() for _ in range(4)]
+    model_fp, params_fp = _load(path, None)
+    ppl_fp = perplexity(model_fp, params_fp, seqs)
+
+    model_q, params_q = _load(
+        path, QuantConfig(method="awq", bits=4, group_size=16,
+                          quantize_lm_head=True))
+    assert isinstance(params_q["lm_head"], dict)
+    assert ("embed" in params_q) == (not tied)
+    ppl_q = perplexity(model_q, params_q, seqs)
+    rel = abs(ppl_q - ppl_fp) / ppl_fp
+    assert rel <= 0.01, (ppl_fp, ppl_q, rel)
+
+
+def test_quantized_lm_head_engine_generates(qwen3_tied_ckpt):
+    from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig, QuantConfig
+    from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+    from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+    from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+    from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig.from_pretrained(qwen3_tied_ckpt)
+    mc.quant = QuantConfig(method="awq", bits=4, group_size=16,
+                           quantize_lm_head=True)
+    cfg = Config(
+        model=qwen3_tied_ckpt, model_config=mc, max_num_seqs=4,
+        max_model_len=128, kvcache_block_size=16, num_kvcache_blocks=32,
+        prefill_chunk_size=32, enforce_eager=True, dtype="float32",
+        kv_cache_dtype="float32", decode_buckets=(1, 2, 4),
+        prefill_seq_buckets=(1, 2, 4), prefill_len_buckets=(16, 32),
+    )
+    runner, sched = ModelRunner(cfg), Scheduler(cfg)
+    seq = Sequence([5, 6, 7, 8], SamplingParams(temperature=0.0, max_tokens=6,
+                                                ignore_eos=True))
+    sched.add(seq)
+    while not sched.is_finished():
+        batch = sched.schedule()
+        sched.postprocess(batch, runner.run(batch))
+    assert len(seq.completion_token_ids) == 6
+
+
+@pytest.mark.parametrize("method", ["awq", "int8"])
+def test_quant_dense_matmul_kernel(method):
+    """Pipelined dense kernel (interpret mode) == dequantize-then-dot."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_dense_pallas import quant_dense_matmul
+
+    rng = np.random.default_rng(11)
+    b, k, n, g = 5, 64, 96, 16
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+    if method == "awq":
+        qw, qz, sc = quantize_awq(w, g)
+        qw2, zp2, sc2 = repack_awq_for_tpu(qw, qz, sc)
+        qp = {"qw": jnp.asarray(qw2), "zp": jnp.asarray(zp2),
+              "scale": jnp.asarray(sc2, jnp.float32)}
+    else:
+        qw, sc = quantize_int8(w, g)
+        qp = {"qw": jnp.asarray(qw), "scale": jnp.asarray(sc, jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
+    got = np.asarray(quant_dense_matmul(x, qp, interpret=True))
+    want = np.asarray(x @ dequantize(qp, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -135,3 +135,28 @@ def test_param_specs_cover_tree():
     assert len(flat_p) == len(flat_s)
     for p, s in zip(flat_p, flat_s):
         assert len(s) <= p.ndim
+
+
+def test_quantized_lm_head_matches_single_device():
+    """Vocab-sharded [H, V] quant-dict head: tp logits/gather == single
+    device (QuantConfig.quantize_lm_head; the dict leaves inherit the
+    lm_head P(None, tp) rule)."""
+    from dataclasses import replace
+
+    from glm4_moe_nano_vllm_tpu.config import QuantConfig
+
+    mc = replace(TINY_MOE, hidden_size=128, moe_intermediate_size=128,
+                 intermediate_size=256,
+                 quant=QuantConfig(method="awq", bits=4, group_size=128,
+                                   quantize_lm_head=True))
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    r1, s1 = make_runner(mc)
+    assert isinstance(r1.params["lm_head"], dict)
+    assert "embed" not in r1.params  # tied: one quant dict serves both
+    base = greedy_tokens(r1, s1, prompts)
+
+    mesh = make_mesh(dp=1, tp=4)
+    r2, s2 = make_runner(mc, mesh=mesh)
+    sharded = greedy_tokens(r2, s2, prompts)
+    assert base == sharded
