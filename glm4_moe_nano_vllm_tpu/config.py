@@ -203,6 +203,9 @@ class Config:
     # on remote-attached accelerators. Overshoot past EOS is truncated.
     num_scheduler_steps: int = 8
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
+    # write a jax.profiler trace of the first generate() here (view with
+    # tensorboard/xprof); "" = off. SURVEY §5: the reference has no tracing.
+    profile_dir: str = ""
     model_config: ModelConfig | None = None
     eos: int = -1
     rng_seed: int = 0

@@ -58,6 +58,7 @@ class LLMEngine:
         self.model_runner = ModelRunner(config, mesh=mesh)
         self.scheduler = Scheduler(config)
         self.metrics = EngineMetrics()
+        self._profiled = False  # one jax.profiler trace per engine
         self.scheduler.metrics = self.metrics
         if not config.enforce_eager:
             self.model_runner.warmup()
@@ -112,7 +113,11 @@ class LLMEngine:
             if seq.is_finished:
                 self.metrics.on_finished(seq.seq_id)
                 outputs.append((seq.seq_id, seq.completion_token_ids))
-        num_tokens = batch.num_tokens if batch.is_prefill else -len(batch.seqs)
+        # Reference contract: > 0 = prefill tokens, < 0 = decode
+        # (llm_engine.py:48-54). Decode magnitude is total tokens generated
+        # this step (= seqs x num_steps under multi-step scheduling; the
+        # reference always decodes one per seq).
+        num_tokens = batch.num_tokens if batch.is_prefill else -batch.num_tokens
         return outputs, num_tokens
 
     def is_finished(self) -> bool:
@@ -140,6 +145,15 @@ class LLMEngine:
             except ImportError:
                 pass
 
+        profiling = False
+        if getattr(self.config, "profile_dir", "") and not self._profiled:
+            # one trace per engine (jax.profiler supports a single session);
+            # view with tensorboard or xprof
+            import jax
+
+            jax.profiler.start_trace(self.config.profile_dir)
+            profiling = self._profiled = True
+
         outputs: dict[int, list[int]] = {}
         prefill_tput = decode_tput = 0.0
         while not self.is_finished():
@@ -160,6 +174,10 @@ class LLMEngine:
                     pbar.update(1)
         if pbar:
             pbar.close()
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
 
         results = [outputs[seq.seq_id] for seq in seqs]
         return [
