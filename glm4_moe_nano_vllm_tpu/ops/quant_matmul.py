@@ -75,39 +75,56 @@ def quant_gather_rows(qp: dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array
 def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
     """y = x @ dequant(qp): fused Pallas kernel on TPU (weights stay int4
     packed / int8 in HBM), XLA fused dequant otherwise."""
+    import math
+    import os
+
     kq = qp["qw"].shape[0] * (2 if "zp" in qp else 1)
-    if (
+    aligned = (
         qp["qw"].ndim == 2
-        and _use_pallas_gmm(int4="zp" in qp, dequant_bytes=_dequant_bytes(qp))
         and qp["qw"].shape[1] % 128 == 0  # N lane alignment
         and x.shape[-1] == kq
-    ):
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        if x2.shape[0] <= 256:
-            # decode-shaped: whole lhs VMEM-resident, pipelined weight-tile
-            # DMAs, one dequant per tile (quant_gmm's row-chunk loop
-            # re-dequantizes per chunk and serializes its DMAs — 4.5x slower
-            # on the [2048, 65536] INT4 LM head)
+        and not os.environ.get("NVT_FORCE_XLA_QUANT")
+        and _on_tpu()
+    )
+    if aligned:
+        rows = math.prod(x.shape[:-1])
+        db = _dequant_bytes(qp)
+        if rows <= 256 and db > (32 << 20):
+            # decode-shaped, big weight: whole lhs VMEM-resident, pipelined
+            # weight-tile DMAs, one dequant per tile
+            # (ops/quant_dense_pallas.py; below 32 MB the XLA dequant-dot's
+            # lower per-call overhead wins — 0.120 vs 0.197 ms per
+            # 4-projection decode layer at 7.6B shapes)
             from glm4_moe_nano_vllm_tpu.ops.quant_dense_pallas import (
                 quant_dense_matmul,
             )
 
             return quant_dense_matmul(x, qp)
-        from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
-            quant_gmm,
-            quant_gmm_int8,
-        )
+        if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=db):
+            # many-row call too big for the XLA transient (~>1 GB)
+            from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
+                quant_gmm,
+                quant_gmm_int8,
+            )
 
-        gs = jnp.asarray([x2.shape[0]], jnp.int32)
-        scale = qp["scale"].astype(jnp.float32)[None]
-        if "zp" in qp:
-            out = quant_gmm(x2, qp["qw"][None], qp["zp"][None], scale, gs)
-        else:
-            out = quant_gmm_int8(x2, qp["qw"][None], scale, gs)
-        return out.reshape(*lead, -1).astype(x.dtype)
+            lead = x.shape[:-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            gs = jnp.asarray([x2.shape[0]], jnp.int32)
+            scale = qp["scale"].astype(jnp.float32)[None]
+            if "zp" in qp:
+                out = quant_gmm(x2, qp["qw"][None], qp["zp"][None], scale, gs)
+            else:
+                out = quant_gmm_int8(x2, qp["qw"][None], scale, gs)
+            return out.reshape(*lead, -1).astype(x.dtype)
     w = dequantize(qp, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _use_pallas_gmm(int4: bool = True, dequant_bytes: int = 0) -> bool:
@@ -115,13 +132,16 @@ def _use_pallas_gmm(int4: bool = True, dequant_bytes: int = 0) -> bool:
 
     if os.environ.get("NVT_FORCE_XLA_QUANT"):
         return False
-    if int4 and 0 < dequant_bytes <= (32 << 20):
-        # small dense INT4 matmuls (qkv/o/shared projections) run faster on
-        # the XLA dequant-then-dot path than the manual-DMA Pallas kernel:
-        # 0.120 vs 0.197 ms per 4-projection decode layer at 7.6B shapes
-        # (per-call kernel overhead dominates at these sizes; the bf16
-        # materialization is only a few MB). Expert stacks and lm_head
-        # exceed the threshold and stay on Pallas.
+    if int4 and 0 < dequant_bytes < (1 << 30):
+        # INT4 up to ~1 GB of dequant transient runs faster on the XLA
+        # dequant-then-matmul path than the manual-DMA Pallas GMM: 0.120 vs
+        # 0.197 ms per 4-projection decode layer at 7.6B shapes, and fresh
+        # prefill 8.4k vs 5.7k tok/s at 7.6B (quant_gmm re-dequantizes its
+        # resident weight tile per row chunk and serializes DMAs per grid
+        # instance). Decode-shaped paths no longer consult this routing
+        # (moe_dense_fused / quant_dense_matmul); above ~1 GB the XLA
+        # transient risks HBM OOM (GLM-4.5-Air-scale expert stacks), so
+        # those stay on the Pallas kernel.
         return False
     if (
         not int4
