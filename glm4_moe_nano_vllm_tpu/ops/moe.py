@@ -171,6 +171,9 @@ def moe_experts(
     caller computes the shared expert itself otherwise); it is evaluated
     in-kernel with combine weight 1.0 — 57 separate tiny quant-matmul calls
     per step measured ~1.6 ms at 7.6B INT4 decode."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import use_gmm2
+
+    stacked = False  # weights still carry their [L, ...] layer dim
     if layer_idx is not None:
         if can_fuse_dense(x.shape[0], w_gate):
             from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
@@ -182,9 +185,14 @@ def moe_experts(
             return moe_dense_fused(x, w_gate, w_up, w_down, w_dense,
                                    layer_idx=layer_idx, shared=shared)
         assert shared is None, "shared expert fusion needs the fused path"
-        w_gate = _slice_layer(w_gate, layer_idx)
-        w_up = _slice_layer(w_up, layer_idx)
-        w_down = _slice_layer(w_down, layer_idx)
+        # the v2 grouped kernel also selects the layer in-kernel
+        stacked = (isinstance(w_gate, dict) and use_gmm2(w_gate)
+                   and x.shape[0] > DENSE_MODE_MAX_TOKENS)
+        if not stacked:
+            w_gate = _slice_layer(w_gate, layer_idx)
+            w_up = _slice_layer(w_up, layer_idx)
+            w_down = _slice_layer(w_down, layer_idx)
+            layer_idx = None
     else:
         assert shared is None
     if x.shape[0] <= DENSE_MODE_MAX_TOKENS:
@@ -220,24 +228,50 @@ def moe_experts(
         # an XLA dense-mode variant measured slower (tiled lhs, AWQ decode
         # 10.5k -> 9.4k tok/s)
     t, k = topk_idx.shape
-    e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
+    if isinstance(w_gate, dict):
+        e = w_gate["qw"].shape[1 if stacked else 0]
+    else:
+        e = w_gate.shape[0]
     flat_e = topk_idx.reshape(-1)  # [T*K]
     sort_i = jnp.argsort(flat_e)  # stable
     tok_i = sort_i // k  # source token of each sorted assignment
-    xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
-
-    o = _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, x.dtype)
-    w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
-    o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)
-    # Combine by inverse-permutation gather + K-way reduction. The obvious
-    # zeros.at[tok_i].add(o) is an H-wide scatter-add with T*K row updates —
-    # XLA serializes it on TPU (measured: dominates the whole prefill step
-    # at 16K tokens). The int32 set-scatter below is 2048x less data.
     tk = t * k
+    # inverse permutation for the combine: an int32 set-scatter. The obvious
+    # zeros.at[tok_i].add(o) combine is an H-wide scatter-add with T*K row
+    # updates — XLA serializes it on TPU (measured: dominated the whole
+    # prefill step at 16K tokens); gather + K-way reduction is pure
+    # bandwidth.
     inv = jnp.zeros((tk,), jnp.int32).at[sort_i].set(
         jnp.arange(tk, dtype=jnp.int32)
     )
+
+    if isinstance(w_gate, dict) and use_gmm2(w_gate):
+        # v2 grouped kernel: dispatch straight into its 8-aligned padded row
+        # layout (the token-index map rides the same int32 set-scatter), run
+        # gate/up → silu → down entirely in padded space, and gather real
+        # rows exactly once — fused into the combine's inverse permutation.
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
+            make_layout,
+            quant_gmm2_chain,
+            scatter_rows,
+        )
+
+        li = layer_idx if stacked else None
+        layout = make_layout(group_sizes, tk)
+        xs8 = jnp.take(x, scatter_rows(tok_i, layout), axis=0)
+        g8, u8 = quant_gmm2_chain(xs8, [w_gate, w_up], layout, layer_idx=li)
+        h8 = silu_and_mul(g8, u8).astype(x.dtype)
+        (o8,) = quant_gmm2_chain(h8, [w_down], layout, layer_idx=li)
+        o_tk = jnp.take(o8, jnp.take(layout.dst8, inv), axis=0)
+        # weights applied post-gather, so they index in unsorted order
+        o_tk = o_tk.astype(jnp.float32) * topk_w.reshape(-1)[:, None]
+        return jnp.sum(o_tk.reshape(t, k, -1), axis=1).astype(x.dtype)
+
+    xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
+    o = _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, x.dtype)
+    w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
+    o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)
     o_tk = jnp.take(o, inv, axis=0).reshape(t, k, -1)
     return jnp.sum(o_tk, axis=1, dtype=jnp.float32).astype(x.dtype)
 

@@ -163,11 +163,29 @@ def _use_pallas_gmm(int4: bool = True, dequant_bytes: int = 0) -> bool:
         return False
 
 
+def use_gmm2(qp: dict) -> bool:
+    """INT4 grouped matmuls default to the v2 Pallas kernel on TPU
+    (pipelined weight blocks, hoisted dequant — see quant_gmm2_pallas.py).
+    NVT_GMM=xla|1 overrides for A/B."""
+    import os
+
+    knob = os.environ.get("NVT_GMM", "2")
+    if knob != "2" or os.environ.get("NVT_FORCE_XLA_QUANT"):
+        return False
+    return "zp" in qp and _on_tpu()
+
+
 def quant_ragged_dot_pair(
     xs: jax.Array, qp_a: dict, qp_b: dict, group_sizes: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
     fused kernel pass shares activation DMAs and instance overhead."""
+    if use_gmm2(qp_a):
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
+            quant_gmm2_pair,
+        )
+
+        return quant_gmm2_pair(xs, qp_a, qp_b, group_sizes)
     if _use_pallas_gmm(int4="zp" in qp_a, dequant_bytes=_dequant_bytes(qp_a)):
         if "zp" in qp_a:
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
@@ -208,6 +226,10 @@ def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Arr
     in HBM); otherwise dequantize + ragged_dot (XLA fuses what it can, but
     materializes the expert stack — fallback only).
     """
+    if use_gmm2(qp):
+        from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import quant_gmm2
+
+        return quant_gmm2(xs, qp, group_sizes)
     if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=_dequant_bytes(qp)):
         scale = qp["scale"].astype(jnp.float32)
         if "zp" in qp:

@@ -158,3 +158,82 @@ def test_gmm_bf16_matches_ragged_dot():
     pa, pb = gmm_bf16_pair(x, w, wb, gs, interpret=True)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(ref_a), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(ref_b), rtol=1e-4, atol=1e-4)
+
+
+# ---- v2 grouped kernel (quant_gmm2_pallas) -----------------------------------
+
+def _qdict_stack(rng, e, k, n, g=16):
+    from glm4_moe_nano_vllm_tpu.ops import quant
+
+    qws, zps, scs = [], [], []
+    for _ in range(e):
+        w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+        qw, qz, sc = quant.quantize_awq(w, g)
+        a, b, c = quant.repack_awq_for_tpu(qw, qz, sc)
+        qws.append(a), zps.append(b), scs.append(c)
+    return {"qw": jnp.asarray(np.stack(qws)), "zp": jnp.asarray(np.stack(zps)),
+            "scale": jnp.asarray(np.stack(scs), jnp.float32)}
+
+
+@pytest.mark.parametrize("sizes", [[5, 0, 300, 11], [0, 0, 7, 1],
+                                   [256, 256, 256, 256], [1, 2, 3, 4]])
+def test_quant_gmm2_matches_dequant(sizes):
+    """v2 kernel (interpret mode) == per-group dequantize-then-dot, incl.
+    empty groups, sub-tile groups, and tile-straddling trailing chunks."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
+        quant_gmm2,
+        quant_gmm2_pair,
+    )
+
+    rng = np.random.default_rng(3)
+    e, k, n = 4, 64, 96
+    m = sum(sizes)
+    gs = jnp.asarray(sizes, jnp.int32)
+    lhs = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    qa, qb = _qdict_stack(rng, e, k, n), _qdict_stack(rng, e, k, n)
+    got = np.asarray(quant_gmm2(lhs, qa, gs, interpret=True))
+    wa = np.asarray(dequantize(qa, jnp.float32))
+    want = np.zeros((m, n), np.float32)
+    off = 0
+    for ei, c in enumerate(sizes):
+        want[off:off + c] = np.asarray(lhs)[off:off + c] @ wa[ei]
+        off += c
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    ga, _ = quant_gmm2_pair(lhs, qa, qb, gs, interpret=True)
+    np.testing.assert_allclose(np.asarray(ga), want, rtol=2e-5, atol=2e-5)
+
+
+def test_quant_gmm2_layer_stacked_chain():
+    """Layer-stacked weights selected in-kernel (scalar prefetch) — the
+    chain API the MoE sorted path uses."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
+        make_layout,
+        quant_gmm2_chain,
+        scatter_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    ll, e, k, n = 3, 4, 64, 96
+    sizes = [9, 40, 0, 17]
+    m = sum(sizes)
+    gs = jnp.asarray(sizes, jnp.int32)
+    lhs = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    qs = [_qdict_stack(rng, e, k, n) for _ in range(ll)]
+    stacked = {kk: jnp.stack([q[kk] for q in qs]) for kk in qs[0]}
+
+    layout = make_layout(gs, m)
+    src = scatter_rows(jnp.arange(m, dtype=jnp.int32), layout)
+    lhs8 = jnp.take(lhs, src, axis=0)
+    for li in range(ll):
+        (o8,) = quant_gmm2_chain(lhs8, [stacked], layout,
+                                 layer_idx=jnp.int32(li), interpret=True)
+        got = np.asarray(jnp.take(o8, layout.dst8, axis=0))
+        w = np.asarray(dequantize(qs[li], jnp.float32))
+        want = np.zeros((m, n), np.float32)
+        off = 0
+        for ei, c in enumerate(sizes):
+            want[off:off + c] = np.asarray(lhs)[off:off + c] @ w[ei]
+            off += c
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
