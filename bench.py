@@ -31,28 +31,48 @@ def main():
     from glm4_moe_nano_vllm_tpu import LLM, SamplingParams
     from glm4_moe_nano_vllm_tpu.config import ModelConfig
 
-    mc = ModelConfig(
-        architecture="glm4_moe",
-        vocab_size=32768,
-        hidden_size=1024,
-        num_layers=12,
-        num_heads=8,
-        num_kv_heads=8,
-        head_dim=128,
-        intermediate_size=2048,
-        max_position_embeddings=8192,
-        partial_rotary_factor=0.5,
-        use_qk_norm=True,
-        attention_bias=True,
-        tie_word_embeddings=True,
-        eos_token_id=2,
-        n_routed_experts=32,
-        num_experts_per_tok=4,
-        moe_intermediate_size=512,
-        n_shared_experts=1,
-        first_k_dense_replace=1,
-        routed_scaling_factor=1.5,
-    )
+    if os.environ.get("BENCH_MODEL") == "qwen3":
+        # Qwen3-0.6B shape — the reference bench's actual model
+        # (`/root/reference/bench.py:14`): vocab 151936, hidden 1024,
+        # 28 layers, 16q/8kv x 128, intermediate 3072, tied embeddings.
+        mc = ModelConfig(
+            architecture="qwen3",
+            vocab_size=151936,
+            hidden_size=1024,
+            num_layers=28,
+            num_heads=16,
+            num_kv_heads=8,
+            head_dim=128,
+            intermediate_size=3072,
+            max_position_embeddings=40960,
+            rope_theta=1000000.0,
+            use_qk_norm=True,
+            tie_word_embeddings=True,
+            eos_token_id=2,
+        )
+    else:
+        mc = ModelConfig(
+            architecture="glm4_moe",
+            vocab_size=32768,
+            hidden_size=1024,
+            num_layers=12,
+            num_heads=8,
+            num_kv_heads=8,
+            head_dim=128,
+            intermediate_size=2048,
+            max_position_embeddings=8192,
+            partial_rotary_factor=0.5,
+            use_qk_norm=True,
+            attention_bias=True,
+            tie_word_embeddings=True,
+            eos_token_id=2,
+            n_routed_experts=32,
+            num_experts_per_tok=4,
+            moe_intermediate_size=512,
+            n_shared_experts=1,
+            first_k_dense_replace=1,
+            routed_scaling_factor=1.5,
+        )
 
     quant = os.environ.get("BENCH_QUANT")  # "awq" | "int8" | unset
     if quant:
