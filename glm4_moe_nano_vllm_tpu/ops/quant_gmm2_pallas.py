@@ -186,6 +186,23 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
     tn = next(d for d in range(min(n, _TN), 0, -1) if n % d == 0)
     tm = _TM
 
+    # Mosaic requires BlockSpec dims aligned to the dtype's sublane tiling
+    # (u8: 4, f32: 8). zp/scale have KG rows = K/group, which real models
+    # break (GLM-4.5-Air Im=1408 → KG=11): pad to 8. The pad is
+    # scan-invariant for layer-stacked params, so XLA hoists it out of the
+    # decoder scan; the kernel reads only the first kg rows.
+    if kg % 8 != 0:
+        kg_pad = -(-kg // 8) * 8
+        padded = []
+        for i, w in enumerate(wsets_flat):
+            if i % n_w == 0:  # qw rows are K/2 (int4) or K — already aligned
+                padded.append(w)
+            else:
+                padded.append(jnp.pad(
+                    w, [(0, 0), (0, 0), (0, kg_pad - kg), (0, 0)]
+                ))
+        wsets_flat = tuple(padded)
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     for w in wsets_flat:
         in_specs.append(
