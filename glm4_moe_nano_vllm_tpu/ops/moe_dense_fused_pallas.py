@@ -206,6 +206,20 @@ def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
     FULL stacks + index avoids the per-layer slice XLA would otherwise
     materialize in front of the kernel (a pallas_call can't fuse a
     dynamic-slice; measured ~0.53 ms/layer of pure copy at 7.6B INT4)."""
+    # Mosaic requires BlockSpec dims aligned to the dtype sublane tiling
+    # (u8: 4, f32: 8); zp/scale have KG = K/group rows, which real models
+    # break (GLM-4.5-Air Im=1408 → KG=11). Pad to 8 — scan-invariant, XLA
+    # hoists it; the kernel reads only the first KG rows (nk = K/kt).
+    def _pad_kg(w, i):
+        if n_w == 1 or i % n_w == 0:  # full-precision / qw rows: aligned
+            return w
+        kg = w.shape[-2]
+        if kg % 8 == 0:
+            return w
+        pad = [(0, 0)] * w.ndim
+        pad[-2] = (0, -(-kg // 8) * 8 - kg)
+        return jnp.pad(w, pad)
+
     routed = wsets_flat[: 3 * n_w]
     shared = wsets_flat[3 * n_w:]
     e = routed[0].shape[1]
@@ -227,6 +241,11 @@ def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
         i_sh = shared[0].shape[-1]  # Is = n_shared * Im; kt_i divides it
         assert i_sh % kt_i == 0 and h % kt_h == 0
         nk_sh, nk_si = h // kt_h, i_sh // kt_i
+
+    # pad AFTER kt/nk are derived from the true KG
+    wsets_flat = tuple(_pad_kg(w, i2) for i2, w in enumerate(wsets_flat))
+    routed = wsets_flat[: 3 * n_w]
+    shared = wsets_flat[3 * n_w:]
 
     # experts resident per grid step: fewer, larger weight DMAs amortize
     # per-step pipeline overhead (each block is double-buffered)
