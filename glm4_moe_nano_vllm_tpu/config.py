@@ -202,6 +202,9 @@ class Config:
     # amortizes the host<->device round trip, which dominates decode latency
     # on remote-attached accelerators. Overshoot past EOS is truncated.
     num_scheduler_steps: int = 8
+    # prefill warmup coverage: "frontier" (largest + smallest reachable seq
+    # bucket per len bucket), "all" (every reachable (seq, len) combo), "off"
+    warmup_prefill: str = "frontier"
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
     # write a jax.profiler trace of the first generate() here (view with
     # tensorboard/xprof); "" = off. SURVEY §5: the reference has no tracing.

@@ -60,6 +60,7 @@ class LLMEngine:
         self.metrics = EngineMetrics()
         self._profiled = False  # one jax.profiler trace per engine
         self.scheduler.metrics = self.metrics
+        self.model_runner.metrics = self.metrics
         if not config.enforce_eager:
             self.model_runner.warmup()
         atexit.register(self.exit)
@@ -80,6 +81,13 @@ class LLMEngine:
                 f"prompt length {len(prompt)} exceeds max_model_len "
                 f"{self.config.max_model_len} (need >=1 slot for generation)"
             )
+        bs = self.config.kvcache_block_size
+        need = (len(prompt) + 1 + bs - 1) // bs
+        if need > self.config.num_kvcache_blocks:
+            raise ValueError(
+                f"prompt needs {need} KV blocks but the cache has only "
+                f"{self.config.num_kvcache_blocks} (prompt length {len(prompt)})"
+            )
         seq = Sequence(prompt, sampling_params,
                        block_size=self.config.kvcache_block_size)
         self.scheduler.add(seq)
@@ -97,11 +105,18 @@ class LLMEngine:
         """
         t0 = time.perf_counter()
         batch = self.scheduler.schedule()
+        outputs = []
+        for seq in self.scheduler.just_failed:
+            logger.warning("request %d failed: %s", seq.seq_id, seq.error)
+            self.metrics.on_finished(seq.seq_id)
+            outputs.append((seq.seq_id, seq.completion_token_ids))
+        self.scheduler.just_failed.clear()
+        if batch is None:  # every request failed on capacity
+            return outputs, 0
         token_ids = self.model_runner.run(batch)
         self.scheduler.postprocess(batch, token_ids)
         self.metrics.on_step(batch.is_prefill, batch.num_tokens,
                              time.perf_counter() - t0)
-        outputs = []
         seen = set()
         for seq in batch.seqs:
             # sequence-parallel prefill may schedule one seq as several rows
@@ -179,11 +194,14 @@ class LLMEngine:
 
             jax.profiler.stop_trace()
 
-        results = [outputs[seq.seq_id] for seq in seqs]
-        return [
-            {
+        results = []
+        for seq in seqs:
+            t = outputs[seq.seq_id]
+            r = {
                 "text": self.tokenizer.decode(t) if self.tokenizer else "",
                 "token_ids": t,
             }
-            for t in results
-        ]
+            if seq.error is not None:
+                r["error"] = seq.error
+            results.append(r)
+        return results

@@ -25,6 +25,8 @@ class EngineMetrics:
     ttft_s: list = field(default_factory=list)
     e2e_s: list = field(default_factory=list)
     num_preemptions: int = 0
+    # XLA programs compiled while serving (i.e. shapes warmup missed)
+    jit_serve_compiles: int = 0
 
     def reset(self) -> None:
         """Zero all counters (e.g. after a compile-heavy warmup run)."""
@@ -77,6 +79,7 @@ class EngineMetrics:
             "ttft_p99_s": self._pct(self.ttft_s, 0.99),
             "e2e_p50_s": self._pct(self.e2e_s, 0.5),
             "num_preemptions": self.num_preemptions,
+            "jit_serve_compiles": self.jit_serve_compiles,
         }
 
 

@@ -145,6 +145,10 @@ class ModelRunner:
         self._jit_multi = jax.jit(
             self._multi_step_fn, donate_argnums=(1,), static_argnums=(4,)
         )
+        # program shapes executed so far; after warmup, any new key is a
+        # serve-time XLA compile (reported via EngineMetrics)
+        self._compiled: set = set()
+        self.metrics = None  # optionally set by the engine
 
     # ---- device programs ---------------------------------------------------
 
@@ -248,6 +252,7 @@ class ModelRunner:
             for start, q in zip(starts, q_lens)
         )
         mb = bucket_of(max_ctx_blocks, self.block_buckets)
+        self._last_shape = (batch.is_prefill, b, s, mb)
 
         token_ids = np.zeros((b, s), np.int32)
         positions = np.zeros((b, s), np.int32)
@@ -292,6 +297,13 @@ class ModelRunner:
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         n = len(batch.seqs)
+        prog = self._last_shape + (1 if batch.is_prefill else batch.num_steps,)
+        if prog not in self._compiled:
+            self._compiled.add(prog)
+            if self.metrics is not None:
+                self.metrics.jit_serve_compiles += 1
+                logger.info("serve-time compile: prefill=%s b=%d s=%d mb=%d "
+                            "steps=%d", *prog)
         if batch.is_prefill:
             tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
             return np.asarray(tokens)[:n].tolist()
@@ -317,18 +329,73 @@ class ModelRunner:
         )
 
     def warmup(self):
-        """AOT-compile the decode bucket ladder (TPU stand-in for CUDA-graph
-        capture, model_runner.py:223-258)."""
+        """AOT-compile every program the serving loop can reach (TPU stand-in
+        for CUDA-graph capture + max-shape prefill warmup, reference
+        model_runner.py:99-106, 223-258):
+          * decode at every (bucket, block-bucket, window) — the default
+            decode path is the ``_jit_multi`` multi-step scan, and the
+            scheduler emits any power-of-two window <= num_scheduler_steps;
+          * prefill at the reachable (seq-bucket, len-bucket) *frontier*: for
+            each len bucket, the largest seq bucket under the token budget
+            plus the smallest bucket (queue-tail steps). Set
+            ``warmup_prefill="all"`` for the exhaustive product, "off" to
+            skip.
+        Serve-time compiles after warmup are counted in EngineMetrics
+        (``jit_serve_compiles``)."""
         t0 = time.perf_counter()
+        cfg = self.config
         key = jax.random.PRNGKey(0)
-        n = 0
-        for b in self.config.decode_buckets:
-            if b > self.config.max_num_seqs:
+        tokens = None
+
+        def run_shape(is_prefill, b, s, mb, steps):
+            nonlocal tokens
+            self._compiled.add((is_prefill, b, s, mb, steps))
+            info = self._dummy_info(b, s, mb)
+            if steps == 1:
+                tokens, self.caches = self._jit_step(
+                    self.params, self.caches, info, key)
+            else:
+                tokens, self.caches = self._jit_multi(
+                    self.params, self.caches, info, key, steps)
+
+        windows = [1]
+        while windows[-1] * 2 <= cfg.num_scheduler_steps:
+            windows.append(windows[-1] * 2)
+        m = self._min_bucket
+        seen = set()
+        for b in cfg.decode_buckets:
+            if b > cfg.max_num_seqs:
                 break
+            b = -(-max(b, m) // m) * m  # dp/microbatch grid (as prepare())
+            if b in seen:
+                continue
+            seen.add(b)
             for mb in self.block_buckets:
-                info = self._dummy_info(b, 1, mb)
-                tokens, self.caches = self._jit_step(self.params, self.caches, info, key)
-                n += 1
-        tokens.block_until_ready()
-        logger.info("warmup compiled %d decode programs in %.1fs",
-                    n, time.perf_counter() - t0)
+                for w in windows:
+                    run_shape(False, b, 1, mb, w)
+
+        if cfg.warmup_prefill != "off":
+            mb = self.block_buckets[-1] if len(self.block_buckets) == 1 else None
+            for s in cfg.prefill_len_buckets:
+                bs = [b for b in cfg.prefill_seq_buckets
+                      if b * s <= cfg.max_num_batched_tokens and b <= cfg.max_num_seqs]
+                if not bs:
+                    bs = [cfg.prefill_seq_buckets[0]]
+                if cfg.warmup_prefill != "all":
+                    bs = sorted({bs[0], bs[-1]})
+                for b in bs:
+                    b = -(-max(b, m) // m) * m
+                    # a prefill of b rows x s tokens can touch at most this
+                    # many blocks per row (chunked continuations can start
+                    # deeper: warm the full table when one bucket exists)
+                    row_mb = mb if mb is not None else bucket_of(
+                        (s + self.block_size - 1) // self.block_size,
+                        self.block_buckets,
+                    )
+                    if (True, b, s, row_mb, 1) not in self._compiled:
+                        run_shape(True, b, s, row_mb, 1)
+
+        if tokens is not None:
+            tokens.block_until_ready()
+        logger.info("warmup compiled %d programs in %.1fs",
+                    len(self._compiled), time.perf_counter() - t0)

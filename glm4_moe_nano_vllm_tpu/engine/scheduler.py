@@ -75,6 +75,8 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # sequences finished abnormally since the last step() drained them
+        self.just_failed: list[Sequence] = []
         self.metrics = None  # optionally set by the engine
 
     def is_finished(self) -> bool:
@@ -87,7 +89,31 @@ class Scheduler:
         seq.block_size = self.block_manager.block_size
         self.waiting.append(seq)
 
-    def schedule(self) -> ScheduledBatch:
+    def fail(self, seq: Sequence, reason: str) -> None:
+        """Finish a sequence abnormally (capacity exhaustion) instead of
+        crashing the engine — the reference asserts instead
+        (its scheduler has no over-capacity story)."""
+        seq.error = reason
+        seq.status = SequenceStatus.FINISHED
+        if seq.block_table:
+            self.block_manager.deallocate(seq)
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.waiting:
+            self.waiting.remove(seq)
+        self.just_failed.append(seq)
+
+    def schedule(self) -> ScheduledBatch | None:
+        """One scheduling decision; ``None`` when every request failed on
+        capacity and nothing is left to run."""
+        while True:
+            batch = self._try_schedule()
+            if batch is not None:
+                return batch
+            if self.is_finished():
+                return None
+
+    def _try_schedule(self) -> ScheduledBatch | None:
         # ---- prefill phase -------------------------------------------------
         scheduled: list[Sequence] = []
         q_lens: list[int] = []
@@ -153,6 +179,16 @@ class Scheduler:
                and len(scheduled) < self.max_num_seqs):
             seq = self.waiting[idx]
             if not self.block_manager.can_allocate(seq):
+                # +1 block so a prompt that exactly fills the cache still has
+                # a slot for its first generated token
+                if self._blocks_for(len(seq) + 1) > self.block_manager.num_blocks:
+                    self.fail(seq, "prompt larger than total KV-cache capacity")
+                    return None  # retry scheduling without it
+                if not self.running and not scheduled:
+                    # nothing can ever free more blocks (cached-but-free
+                    # blocks already count as free)
+                    self.fail(seq, "prompt does not fit in free KV-cache blocks")
+                    return None
                 break
             q_est = len(seq) - self.block_manager.probe_cached_tokens(seq)
             # Admission requires room for at least one full chunk (or the whole
@@ -191,6 +227,13 @@ class Scheduler:
             while not self.block_manager.can_append(seq, n):
                 if self.running:
                     self.preempt(self.running.pop())
+                elif n > 1:
+                    n = 1  # shrink the decode window before preempting/failing
+                elif self._blocks_for(len(seq) + 1) > self.block_manager.num_blocks:
+                    # alone with every block available it still can't extend:
+                    # preempting would livelock (re-prefill, fail again)
+                    self.fail(seq, "context outgrew total KV-cache capacity")
+                    break
                 else:
                     self.preempt(seq)
                     break
@@ -198,10 +241,15 @@ class Scheduler:
                 num += 1
                 self.block_manager.may_append(seq, n)
                 scheduled.append(seq)
-        assert scheduled, "scheduler deadlock: nothing runnable"
         self.running.extendleft(reversed(scheduled))
+        if not scheduled:
+            return None  # retry (preempted seqs re-prefill; failed are gone)
         return ScheduledBatch(scheduled, is_prefill=False,
                               q_lens=[1] * len(scheduled), num_steps=n)
+
+    def _blocks_for(self, n_tokens: int) -> int:
+        bs = self.block_manager.block_size
+        return (n_tokens + bs - 1) // bs
 
     def preempt(self, seq: Sequence) -> None:
         if self.metrics is not None:

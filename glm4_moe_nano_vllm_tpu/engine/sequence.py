@@ -43,6 +43,10 @@ class Sequence:
         self.temperature = sp.temperature
         self.max_tokens = sp.max_tokens
         self.ignore_eos = sp.ignore_eos
+        # set when the engine finishes the sequence abnormally (e.g. the
+        # prompt or context outgrew KV-cache capacity); the reference instead
+        # dies on an assert deep in its scheduler
+        self.error: str | None = None
 
     def __len__(self) -> int:
         return len(self.token_ids)

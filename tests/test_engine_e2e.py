@@ -153,6 +153,7 @@ def test_multi_step_decode_with_eos():
         assert outs[0].index(0) == len(outs[0]) - 1  # EOS terminates
 
 
+@pytest.mark.slow
 def test_glm4_moe_generation():
     e = make_engine(TINY_MOE)
     outs = gen(e, [[1, 2, 3, 4], [5, 6, 7]], ignore_eos=True)
@@ -161,6 +162,7 @@ def test_glm4_moe_generation():
     assert a == outs[0]
 
 
+@pytest.mark.slow
 def test_public_api_tensor_parallel_matches_single_device():
     """`LLM(tensor_parallel_size=..., data_parallel_size=...)` — the public
     engine path that builds the mesh itself (reference: per-rank processes,
@@ -172,6 +174,7 @@ def test_public_api_tensor_parallel_matches_single_device():
     assert gen(e, prompts) == base
 
 
+@pytest.mark.slow
 def test_preemption_under_pressure_matches_unconstrained():
     """A starved block pool forces preemption/recompute churn mid-decode;
     greedy outputs must be identical to an unconstrained engine (the
@@ -190,6 +193,7 @@ def test_preemption_under_pressure_matches_unconstrained():
     assert starved.metrics.num_preemptions > 0  # the pressure was real
 
 
+@pytest.mark.slow
 def test_sp_prefill_with_preemption_pressure():
     """Sequence-parallel prefill + starved pool + prefix caching together."""
     rng = np.random.default_rng(4)
@@ -200,3 +204,81 @@ def test_sp_prefill_with_preemption_pressure():
     e = make_engine(TINY_MOE, num_kvcache_blocks=48, prefill_sp_degree=3,
                     prefill_chunk_size=16)
     assert gen(e, prompts, max_tokens=16) == base
+
+
+# ---- capacity-error handling (the reference dies on a scheduler assert;
+# see VERDICT item 7) ---------------------------------------------------------
+
+
+def test_over_capacity_prompt_rejected_at_add():
+    eng = make_engine(TINY, num_kvcache_blocks=4, max_model_len=256)
+    # 4 blocks x 16 = 64 token capacity; a 64-token prompt needs a 65th slot
+    with pytest.raises(ValueError, match="KV blocks"):
+        eng.add_request(list(range(1, 65)), SamplingParams(max_tokens=4))
+
+
+def test_context_outgrowing_capacity_fails_gracefully():
+    # capacity 4 blocks = 64 tokens; prompt 60 + max_tokens 16 overflows.
+    # The engine must finish the request with an error, not crash.
+    eng = make_engine(TINY, num_kvcache_blocks=4, max_model_len=256,
+                      num_scheduler_steps=4)
+    prompts = [list(range(1, 61))]
+    outs = eng.generate(prompts, SamplingParams(temperature=0.0, max_tokens=16,
+                                                ignore_eos=True),
+                        use_tqdm=False)
+    assert "error" in outs[0]
+    assert "capacity" in outs[0]["error"]
+    # the tokens generated before overflow are still returned
+    assert 0 < len(outs[0]["token_ids"]) <= 5
+    # engine remains usable afterwards
+    ok = eng.generate([[1, 2, 3]], SamplingParams(temperature=0.0, max_tokens=4,
+                                                  ignore_eos=True),
+                      use_tqdm=False)
+    assert len(ok[0]["token_ids"]) == 4 and "error" not in ok[0]
+
+
+def test_scheduler_fails_impossible_waiting_seq():
+    from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+    from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+
+    cfg = Config(
+        model="", model_config=TINY, max_num_seqs=4, max_model_len=4096,
+        kvcache_block_size=16, num_kvcache_blocks=4, prefill_chunk_size=32,
+        max_num_batched_tokens=512,
+    )
+    sched = Scheduler(cfg)
+    sched.add(Sequence(list(range(1, 200)), SamplingParams(max_tokens=4)))
+    sched.add(Sequence([1, 2, 3], SamplingParams(max_tokens=4)))
+    batch = sched.schedule()  # must fail seq 0 and still schedule seq 1
+    assert batch is not None and len(batch.seqs) == 1
+    assert len(sched.just_failed) == 1
+    assert sched.just_failed[0].error is not None
+
+
+def test_preemption_to_empty_then_resume():
+    # Two seqs under extreme block pressure: the tail seq preempts, the
+    # engine keeps making progress, and both eventually finish.
+    eng = make_engine(TINY, num_kvcache_blocks=6, max_model_len=96,
+                      num_scheduler_steps=2)
+    outs = eng.generate([list(range(1, 33)), list(range(40, 72))],
+                        SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True),
+                        use_tqdm=False)
+    for o in outs:
+        assert "error" not in o
+        assert len(o["token_ids"]) == 8
+
+
+def test_warmup_covers_serving_programs():
+    # With warmup on (enforce_eager=False), a full generate run must hit only
+    # AOT-compiled programs: zero serve-time compiles (VERDICT item 2).
+    eng = make_engine(TINY, enforce_eager=False, num_scheduler_steps=4,
+                      num_kvcache_blocks=64)
+    assert len(eng.model_runner._compiled) > 0
+    eng.metrics.reset()
+    outs = eng.generate([list(range(1, 40)), [5, 6, 7]],
+                        SamplingParams(temperature=0.0, max_tokens=6,
+                                       ignore_eos=True),
+                        use_tqdm=False)
+    assert all(len(o["token_ids"]) == 6 for o in outs)
+    assert eng.metrics.jit_serve_compiles == 0, eng.metrics.summary()

@@ -11,6 +11,8 @@ and multi-step greedy decode token equality.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from glm4_moe_nano_vllm_tpu.config import Config
 from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
 from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler

@@ -11,6 +11,8 @@ model families and both prefill and multi-step decode.
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.test_sharding import TINY_MOE, greedy_tokens, make_runner
 from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig
 from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig
 from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
 from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler

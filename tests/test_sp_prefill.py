@@ -35,6 +35,7 @@ def make_runner_sp(sp_degree, mesh=None, prefix_cache=True):
     return ModelRunner(cfg, mesh=mesh), Scheduler(cfg)
 
 
+@pytest.mark.slow
 def test_sp_prefill_matches_sequential_chunks():
     r1, s1 = make_runner_sp(sp_degree=1)
     base = greedy_tokens(r1, s1, LONG_PROMPTS)
@@ -62,6 +63,7 @@ def test_sp_prefill_single_step_whole_prompt():
     assert seq.num_completion_tokens == 1  # plus the sampled first token
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dp,tp", [(4, 1), (2, 2)])
 def test_sp_prefill_on_dp_mesh(dp, tp):
     """SP rows shard over dp: same tokens as single device."""
