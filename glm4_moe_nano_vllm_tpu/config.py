@@ -180,6 +180,13 @@ class Config:
     # grouped matmul per device, ops/moe.py moe_experts_ep), "im" = expert
     # intermediate dim sharded, "auto" = ep when n_routed_experts % tp == 0.
     moe_parallel: str = "auto"
+    # EP large-token (prefill) path: "auto"/"a2a" = ragged all-to-all token
+    # dispatch to expert owners (per-device ICI volume shrinks with mesh
+    # size), "psum" = replicated-activation local-span GMM + psum combine
+    # (competitive when the EP axis is narrow; see ARCHITECTURE.md). Small-
+    # token (decode) steps always use dense mode + psum, which is volume-
+    # optimal there.
+    ep_dispatch: str = "auto"
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "bfloat16"  # or "float8_e4m3fn"
     enable_prefix_caching: bool = True
@@ -206,6 +213,15 @@ class Config:
     # bucket per len bucket), "all" (every reachable (seq, len) combo), "off"
     warmup_prefill: str = "frontier"
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
+    # --- multi-host (JAX multi-controller; parallel/multihost.py) ---
+    # num_processes > 1 makes the engine call jax.distributed.initialize at
+    # construction; every host then runs this same engine code replicated
+    # (deterministic scheduler + seeded in-graph sampling keep replicas in
+    # lockstep — the TPU-native replacement for the reference's SHM pickle
+    # RPC control plane, model_runner.py:49-91). process_id -1 = auto-detect.
+    num_processes: int = 1
+    process_id: int = -1
+    coordinator_address: str = ""
     # write a jax.profiler trace of the first generate() here (view with
     # tensorboard/xprof); "" = off. SURVEY §5: the reference has no tracing.
     profile_dir: str = ""

@@ -47,6 +47,16 @@ class LLMEngine:
                 config.eos = self.tokenizer.eos_token_id
 
         self.config = config
+        if config.num_processes > 1:
+            from glm4_moe_nano_vllm_tpu.parallel.multihost import (
+                initialize_multihost,
+            )
+
+            initialize_multihost(
+                coordinator_address=config.coordinator_address or None,
+                num_processes=config.num_processes,
+                process_id=config.process_id if config.process_id >= 0 else None,
+            )
         mesh = None
         if (config.tensor_parallel_size * config.data_parallel_size
                 * config.pipeline_parallel_size > 1):

@@ -99,6 +99,7 @@ class ModelRunner:
             self.model.mesh = mesh
             if mc.is_moe:
                 self.model.moe_ep = moe_ep
+                self.model.ep_dispatch = config.ep_dispatch
             pp_stack = None
             pp_cache_keys = ()
             if pp > 1:
@@ -152,10 +153,23 @@ class ModelRunner:
 
     # ---- device programs ---------------------------------------------------
 
+    def _replicated(self, tokens):
+        """Constrain sampled tokens to a fully-replicated layout: under dp
+        the sample is row-sharded, but the (replicated, deterministic) host
+        scheduler on every process needs all of it (multi-host: the
+        all-gather of a few hundred int32s rides ICI, not the host)."""
+        if self.mesh is None:
+            return tokens
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(self.mesh, P())
+        )
+
     def _step_fn(self, params, caches, batch: BatchInfo, key):
         logits, caches = self.model.forward(params, caches, batch)
         tokens = sample(logits, batch.temperatures, key)
-        return tokens, caches
+        return self._replicated(tokens), caches
 
     def _multi_step_fn(self, params, caches, batch: BatchInfo, key, n_steps: int):
         """n_steps decode iterations in one program (multi-step scheduling):
@@ -195,7 +209,7 @@ class ModelRunner:
         (caches, *_), tokens = jax.lax.scan(
             body, init, jnp.arange(n_steps, dtype=jnp.int32)
         )
-        return tokens, caches  # tokens [n_steps, B]
+        return self._replicated(tokens), caches  # tokens [n_steps, B]
 
     # ---- memory ----------------------------------------------------------
 

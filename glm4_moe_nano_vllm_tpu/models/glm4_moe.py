@@ -44,6 +44,7 @@ class Glm4MoeForCausalLM:
         # set by ModelRunner when running sharded; EP shards experts on E
         self.mesh = None
         self.moe_ep = False
+        self.ep_dispatch = "auto"  # large-T EP path (Config.ep_dispatch)
         # pipeline parallelism: the MoE stack is the pipelined stage stack
         # (dense first-k layers are replicated — ~1/46 of the model)
         self.pp = 1
@@ -183,10 +184,14 @@ class Glm4MoeForCausalLM:
                 cfg.norm_topk_prob,
             )
             if self.moe_ep:
+                # expert stacks stay OUT of the scan xs here too (sliced xs
+                # feeding pallas_call materialize per-layer copies); the
+                # shard_map shards the full [L, E, ...] stacks on E
+                fe = self._full_experts
                 routed = moe_experts_ep(
                     flat, topk_idx, topk_w,
-                    lp["expert_gate"], lp["expert_up"], lp["expert_down"],
-                    self.mesh,
+                    fe["expert_gate"], fe["expert_up"], fe["expert_down"],
+                    self.mesh, layer_idx=li, dispatch=self.ep_dispatch,
                 )
             elif "expert_gate" in lp:  # pp stage stacks travel as scan xs
                 routed = moe_experts(
@@ -247,16 +252,16 @@ class Glm4MoeForCausalLM:
 
             expert_keys = ("expert_gate", "expert_up", "expert_down")
             num_tokens = x.shape[0] * x.shape[1]
-            if can_fuse_dense(num_tokens, params["moe_layers"]["expert_gate"]):
-                # shared expert rides the fused kernel too (weight 1.0)
+            if not self.moe_ep and can_fuse_dense(
+                    num_tokens, params["moe_layers"]["expert_gate"]):
+                # shared expert rides the fused kernel too (weight 1.0);
+                # under EP the shared expert stays Im-sharded outside the
+                # E-sharded shard_map region
                 expert_keys += ("shared_gate", "shared_up", "shared_down")
             self._full_experts = {k: params["moe_layers"][k]
                                   for k in expert_keys}
-            if self.moe_ep:  # EP shards E over tp inside shard_map: keep xs
-                scan_params = params["moe_layers"]
-            else:
-                scan_params = {k: v for k, v in params["moe_layers"].items()
-                               if k not in expert_keys}
+            scan_params = {k: v for k, v in params["moe_layers"].items()
+                           if k not in expert_keys}
             (x, km, vm), _ = jax.lax.scan(
                 lambda c, xs: moe_body(c, xs, batch),
                 (x, caches["moe_k"], caches["moe_v"]),

@@ -146,6 +146,8 @@ def can_fuse_dense(num_tokens: int, w_gate) -> bool:
         return False
     if os.environ.get("NVT_NO_FUSED_DENSE_MOE"):
         return False
+    if _fused_interpret():  # CPU tests drive the kernel in interpret mode
+        return True
     from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
 
     return _use_pallas_gmm(int4="zp" in w_gate)
@@ -280,51 +282,93 @@ def moe_experts_ep(
     x: jax.Array,  # [T, H], rows sharded over dp, replicated over tp
     topk_idx: jax.Array,  # [T, K]
     topk_w: jax.Array,  # [T, K] fp32
-    w_gate,  # [E, H, Im] array or quant dict, E sharded over tp
-    w_up,
+    w_gate,  # [E, H, Im] array or quant dict, E sharded over tp;
+    w_up,  # with layer_idx: layer-stacked [L, E, ...]
     w_down,  # [E, Im, H]
     mesh,
     axis: str = "tp",
+    layer_idx=None,  # traced int32: stacks keep their [L, ...] layer dim
+    dispatch: str = "auto",  # "auto" | "a2a" | "psum" (large-T path choice)
 ) -> jax.Array:
     """Expert-parallel MoE: experts sharded on the E dim over ``axis``.
 
     TPU-first realization of the reference's vendored-but-unused EP hooks
     (`/root/reference/nanovllm/distributed/parallel_state_ref.py:792-805,
-    1071-1079`): instead of an explicit dispatch/combine all-to-all over
-    NCCL groups, activations stay replicated across the model axis (they
-    already are — attention output is psum-reduced), every device runs the
-    grouped matmul for just its E/n local experts at **full** ``Im`` width,
-    and one ``psum`` combines the partial token sums.
+    1071-1079`). Three paths, chosen statically:
 
-    Why this beats Im-sharded TP-in-expert (same FLOPs, same one psum):
-    the GMM tiles are [*, Im] instead of [*, Im/n] — e.g. GLM-4.5-Air's
-    Im=1408 stays MXU-aligned at n=8 where 176-wide tiles waste most lanes —
-    and each device touches E/n experts' weights instead of all E, so the
-    weight DMA volume per device drops n-fold for the same output.
+    * **small T (decode)** — dense mode: every device applies its E/n local
+      experts to every token and one ``psum`` combines the [T, H] partials.
+      The activations are already replicated over ``axis`` (attention output
+      is psum-reduced), so this is the volume-optimal combine for small T,
+      and the whole gate/up/silu/down/combine chain runs in the fused Pallas
+      kernel for quantized weights (layer selected in-kernel).
+    * **large T (prefill), dispatch a2a** — true all-to-all dispatch/combine
+      (`_ep_a2a` below): each device routes its 1/n token slice, sends rows
+      to expert owners over ICI via ``ragged_all_to_all`` (exact row counts,
+      no capacity padding), grouped-matmuls only what it received, returns
+      rows to their source, combines locally, and ``all_gather``s the [T, H]
+      output. Per-device ICI volume shrinks ~K/n-fold with mesh size where
+      the psum scheme's stays constant (see ARCHITECTURE.md for the math).
+    * **large T, dispatch psum** — the rotate-local-span scheme: activations
+      stay replicated, each device grouped-matmuls its expert span at full
+      ``Im`` width, one psum of [T, H] partials.
     """
-    e = w_gate["qw"].shape[0] if isinstance(w_gate, dict) else w_gate.shape[0]
+    stacked = layer_idx is not None
+    e_dim = 1 if stacked else 0
+    if isinstance(w_gate, dict):
+        e = w_gate["qw"].shape[e_dim]
+    else:
+        e = w_gate.shape[e_dim]
     n = mesh.shape[axis]
     assert e % n == 0, (e, n)
     e_local = e // n
-    k = topk_idx.shape[1]
+    t, k = topk_idx.shape
     from jax.sharding import PartitionSpec as P
 
     other = [a for a in mesh.axis_names if a != axis]
-    row_spec = P(other[0] if other else None, None)
+    dp_ax = other[0] if other else None
+    row_spec = P(dp_ax, None)
+    w_ndim = (w_gate["qw"] if isinstance(w_gate, dict) else w_gate).ndim
+    w_spec = P(*([None] * e_dim), axis, *([None] * (w_ndim - e_dim - 1)))
+
+    # "a2a" forces the all-to-all path at any T (tests, dryruns); "auto"
+    # uses it for large-T (prefill) steps only — decode's dense+psum is
+    # volume-optimal for replicated activations.
+    if dispatch == "a2a" or (t > DENSE_MODE_MAX_TOKENS and dispatch == "auto"):
+        return _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
+                       e, e_local, layer_idx, row_spec, w_spec)
 
     def local_moe(x, topk_idx, topk_w, wg, wu, wd):
         t = x.shape[0]
         tk = t * k
         r = jax.lax.axis_index(axis)
         lo = r * e_local
-        if not isinstance(wg, dict) and t <= DENSE_MODE_MAX_TOKENS:
-            # dense fast path (see DENSE_MODE_MAX_TOKENS): every local expert
-            # for every token, combine weights sliced to this shard's experts
-            o = _dense_expert_outputs(x, wg, wu, wd)
+        if t <= DENSE_MODE_MAX_TOKENS:
             w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
-            part = jnp.einsum("teh,te->th", o, w_local).astype(x.dtype)
-            return jax.lax.psum(part, axis)
+            if can_fuse_dense(t, wg):
+                # fully-fused dense kernel over the LOCAL expert shard
+                # (the flagship Air-INT4 decode path under TP+EP)
+                from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
+                    moe_dense_fused,
+                )
+
+                part = moe_dense_fused(
+                    x, wg, wu, wd, w_local,
+                    layer_idx=layer_idx if stacked else None,
+                    interpret=bool(_fused_interpret()),
+                )
+                return jax.lax.psum(part, axis)
+            if stacked:
+                wg, wu, wd = (_slice_layer(w, layer_idx) for w in (wg, wu, wd))
+            if not isinstance(wg, dict):
+                # dense fast path (see DENSE_MODE_MAX_TOKENS): every local
+                # expert for every token, locally-sliced combine weights
+                o = _dense_expert_outputs(x, wg, wu, wd)
+                part = jnp.einsum("teh,te->th", o, w_local).astype(x.dtype)
+                return jax.lax.psum(part, axis)
+        elif stacked:
+            wg, wu, wd = (_slice_layer(w, layer_idx) for w in (wg, wu, wd))
         flat_e = topk_idx.reshape(-1)
         sort_i = jnp.argsort(flat_e)  # stable: expert-contiguous spans
         tok_i = sort_i // k
@@ -364,9 +408,142 @@ def moe_experts_ep(
     fn = jax.shard_map(
         local_moe,
         mesh=mesh,
-        in_specs=(row_spec, row_spec, row_spec,
-                  P(axis, None, None), P(axis, None, None), P(axis, None, None)),
+        in_specs=(row_spec, row_spec, row_spec, w_spec, w_spec, w_spec),
         out_specs=row_spec,
         check_vma=False,
     )
     return fn(x, topk_idx, topk_w, w_gate, w_up, w_down)
+
+
+def _fused_interpret() -> bool:
+    """Run the fused dense-mode kernel in Pallas interpret mode (CPU tests)."""
+    import os
+
+    return bool(os.environ.get("NVT_FUSED_MOE_INTERPRET"))
+
+
+def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
+            e, e_local, layer_idx, row_spec, w_spec):
+    """All-to-all expert dispatch/combine (large-T / prefill EP path).
+
+    Per device over ``axis`` (n devices): take a 1/n slice of the local
+    token rows, sort its (token, k) assignments by expert id — expert ids
+    are owner-contiguous, so the sorted order is owner-major — and
+
+      1. exchange per-owner row counts (one tiny all_gather),
+      2. ``ragged_a2a`` the activation rows to their expert owners,
+      3. reorder arrivals (sender-major) to expert-major with O(1) index
+         arithmetic and run the grouped matmuls for the LOCAL experts only,
+      4. ``ragged_a2a`` the results back to their source device,
+      5. combine locally (weights never leave the source) and ``all_gather``
+         the [T_local, H] output to restore axis-replicated activations.
+
+    Exact-parity dispatch: ``ragged_all_to_all`` moves only real rows, so no
+    token is ever dropped (a fixed GShard-style capacity would change
+    logits) and ICI volume is the true routed volume. See ARCHITECTURE.md
+    for the per-device volume comparison vs the psum scheme.
+    """
+    from glm4_moe_nano_vllm_tpu.parallel.a2a import ragged_a2a
+
+    n = mesh.shape[axis]
+    t, k = topk_idx.shape
+    h = x.shape[1]
+    dp_ax = row_spec[0]
+    dp = mesh.shape[dp_ax] if dp_ax else 1
+    stacked = layer_idx is not None
+
+    # pad T so each (dp, axis) device owns an equal token slice; pad rows
+    # carry the invalid-expert sentinel (= e) so they are never dispatched
+    grid = dp * n
+    t_pad = (-t) % grid
+    if t_pad:
+        x = jnp.pad(x, ((0, t_pad), (0, 0)))
+        topk_idx = jnp.concatenate(
+            [topk_idx, jnp.full((t_pad, k), e, topk_idx.dtype)]
+        )
+        topk_w = jnp.pad(topk_w, ((0, t_pad), (0, 0)))
+
+    def local_fn(x, topk_idx, topk_w, wg, wu, wd):
+        tl = x.shape[0]
+        ts = tl // n
+        r = jax.lax.axis_index(axis)
+        lo = r * e_local
+        if stacked:
+            wg, wu, wd = (_slice_layer(w, layer_idx) for w in (wg, wu, wd))
+
+        # ---- my token slice, sorted owner-major ---------------------------
+        x_s = jax.lax.dynamic_slice_in_dim(x, r * ts, ts, 0)
+        idx_s = jax.lax.dynamic_slice_in_dim(topk_idx, r * ts, ts, 0)
+        w_s = jax.lax.dynamic_slice_in_dim(topk_w, r * ts, ts, 0)
+        a = ts * k
+        flat_e = idx_s.reshape(-1)
+        sort_i = jnp.argsort(flat_e)  # stable; sentinel rows sort last
+        tok_i = sort_i // k
+        xs_send = jnp.take(x_s, tok_i, axis=0)  # [a, H] owner-major
+        counts_e = jnp.bincount(flat_e, length=e).astype(jnp.int32)  # [e]
+        send_sizes = counts_e.reshape(n, e_local).sum(axis=1)  # [n]
+
+        # ---- count exchange + dispatch ------------------------------------
+        cm = jax.lax.all_gather(send_sizes, axis)  # [n, n]: cm[i, j] = i→j
+        ce = jax.lax.all_gather(counts_e, axis)  # [n, e]
+        in_offs = jnp.cumsum(send_sizes) - send_sizes
+        out_offs = (jnp.cumsum(cm, axis=0) - cm)[r]  # my landing offset at j
+        recv_sizes = cm[:, r]
+        cap = tl * k  # worst case: every assignment targets my experts
+        recv = ragged_a2a(xs_send, jnp.zeros((cap, h), x.dtype),
+                          in_offs, send_sizes, out_offs, recv_sizes, axis)
+
+        # ---- arrivals (sender-major, expert-minor) → expert-major ---------
+        ce_l = jax.lax.dynamic_slice(ce, (0, lo), (n, e_local))
+        group_sizes = ce_l.sum(axis=0).astype(jnp.int32)  # [e_local]
+        recv_start = jnp.cumsum(recv_sizes) - recv_sizes  # [n]
+        gs_start = jnp.cumsum(group_sizes) - group_sizes  # [e_local]
+        ccol = jnp.cumsum(ce_l, axis=0) - ce_l  # rows before sender i in exp j
+        crow = jnp.cumsum(ce_l, axis=1) - ce_l  # sender i's rows before exp j
+        m = jnp.arange(cap, dtype=jnp.int32)
+        j = jnp.clip(
+            jnp.searchsorted(jnp.cumsum(group_sizes), m, side="right"),
+            0, e_local - 1,
+        ).astype(jnp.int32)
+        tpos = m - jnp.take(gs_start, j)  # rank within expert j
+        ccol_j = jnp.take(ce_l.T, j, axis=0)  # [cap, n] sizes per sender
+        off_j = jnp.take(ccol.T, j, axis=0)  # [cap, n] col-cumsum per sender
+        in_win = (tpos[:, None] >= off_j) & (tpos[:, None] < off_j + ccol_j)
+        i = jnp.argmax(in_win, axis=1).astype(jnp.int32)
+        valid = jnp.any(in_win, axis=1)
+        rows_m = jnp.arange(cap)
+        src = (jnp.take(recv_start, i) + crow[i, j]
+               + (tpos - off_j[rows_m, i]))
+        src = jnp.where(valid, src, cap - 1)
+        xs_exp = jnp.take(recv, src, axis=0)
+        xs_exp = jnp.where(valid[:, None], xs_exp, 0)
+
+        # ---- local experts only -------------------------------------------
+        o = _expert_gmms(xs_exp, wg, wu, wd, group_sizes, x.dtype)  # [cap, H]
+
+        # ---- back to arrival order, return transfer, combine ---------------
+        o_sm = jnp.zeros((cap + 1, h), o.dtype).at[
+            jnp.where(valid, src, cap)
+        ].set(o)[:cap]
+        back_out_offs = (jnp.cumsum(cm, axis=1) - cm)[:, r]
+        o_back = ragged_a2a(o_sm, jnp.zeros((a, h), o.dtype),
+                            recv_start, recv_sizes, back_out_offs,
+                            send_sizes, axis)
+        w_flat = jnp.take(w_s.reshape(-1), sort_i)
+        o_w = o_back.astype(jnp.float32) * w_flat[:, None]
+        inv = jnp.zeros((a,), jnp.int32).at[sort_i].set(
+            jnp.arange(a, dtype=jnp.int32)
+        )
+        o_tk = jnp.take(o_w, inv, axis=0).reshape(ts, k, h)
+        y_s = jnp.sum(o_tk, axis=1).astype(x.dtype)
+        return jax.lax.all_gather(y_s, axis, axis=0, tiled=True)  # [tl, H]
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, w_spec, w_spec, w_spec),
+        out_specs=row_spec,
+        check_vma=False,
+    )
+    y = fn(x, topk_idx, topk_w, w_gate, w_up, w_down)
+    return y[:t] if t_pad else y

@@ -1,0 +1,155 @@
+"""Expert-parallel all-to-all dispatch/combine (ops/moe.py::_ep_a2a).
+
+Reference intent: the vendored EP ``dispatch``/``combine`` hooks
+(`/root/reference/nanovllm/distributed/parallel_state_ref.py:792-805`).
+These tests pin:
+  * the portable ``ragged_a2a`` emulation against a numpy oracle of the
+    ``jax.lax.ragged_all_to_all`` semantics;
+  * EP tokens == single-device ``moe_experts`` for bf16 and AWQ-INT4 expert
+    weights at decode- and prefill-like shapes, on (tp) and (dp, tp) meshes;
+  * the fused dense-mode kernel running under EP (interpret mode).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from glm4_moe_nano_vllm_tpu.ops.moe import (
+    moe_experts,
+    moe_experts_ep,
+    route_topk,
+)
+from glm4_moe_nano_vllm_tpu.ops.quant import (
+    pack_rows_u8,
+    quantize_awq,
+    awq_unpack_cols,
+)
+from glm4_moe_nano_vllm_tpu.parallel.sharding import make_mesh
+
+
+def _mesh1d(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("tp",))
+
+
+def test_ragged_a2a_emulation_matches_numpy_oracle():
+    """The CPU emulation implements exact ragged_all_to_all semantics."""
+    from glm4_moe_nano_vllm_tpu.parallel.a2a import ragged_a2a
+
+    n, h, m, cap = 4, 3, 10, 16
+    rng = np.random.default_rng(0)
+    ops = rng.normal(size=(n, m, h)).astype(np.float32)
+    # random well-formed count matrix: cm[i, j] rows from i to j
+    cm = rng.integers(0, 3, size=(n, n)).astype(np.int32)
+    cm[:, 0] += 1  # some nonzero traffic
+    assert cm.sum(1).max() <= m and cm.sum(0).max() <= cap
+
+    in_offs = np.cumsum(cm, 1) - cm  # sender-local layout
+    out_offs = np.cumsum(cm, 0) - cm  # sender-major landing at receivers
+
+    # numpy oracle
+    want = np.zeros((n, cap, h), np.float32)
+    for i in range(n):
+        for j in range(n):
+            s, c = in_offs[i, j], cm[i, j]
+            want[j, out_offs[i, j]:out_offs[i, j] + c] = ops[i, s:s + c]
+
+    mesh = _mesh1d(n)
+
+    def f(op, io, ss, oo, rs):
+        return ragged_a2a(op, jnp.zeros((cap, h), op.dtype),
+                          io[0], ss[0], oo[0], rs[0], "tp")
+
+    got = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("tp"), P("tp"), P("tp"), P("tp"), P("tp")),
+        out_specs=P("tp"), check_vma=False,
+    ))(
+        jnp.asarray(ops.reshape(n * m, h)),
+        jnp.asarray(in_offs),
+        jnp.asarray(cm),
+        jnp.asarray(out_offs),  # row i = where i's chunks land at each peer
+        jnp.asarray(cm.T.copy()),  # row r = sizes arriving at r
+    )
+    np.testing.assert_array_equal(np.asarray(got).reshape(n, cap, h), want)
+
+
+def _rand_moe(rng, e, h, im, t, k, quant=False):
+    x = jnp.asarray(rng.normal(size=(t, h)), jnp.float32)
+    router = jnp.asarray(rng.normal(size=(e, h)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(e,)), jnp.float32)
+    idx, w = route_topk(x, router, bias, k, 1.5)
+
+    def mk(kk, mm):
+        w_ = rng.normal(size=(e, kk, mm)).astype(np.float32) * 0.2
+        if not quant:
+            return jnp.asarray(w_)
+        qd = {"qw": [], "zp": [], "scale": []}
+        for ee in range(e):
+            qw, qz, sc = quantize_awq(w_[ee], group_size=kk)
+            qd["qw"].append(pack_rows_u8(awq_unpack_cols(qw), kk))
+            qd["zp"].append(awq_unpack_cols(qz))
+            qd["scale"].append(sc.astype(np.float32))
+        return {kk2: jnp.asarray(np.stack(v)) for kk2, v in qd.items()}
+
+    return x, idx, w, mk(h, im), mk(h, im), mk(im, h)
+
+
+@pytest.mark.parametrize("t,quant", [(16, False), (16, True), (600, False),
+                                     (600, True)])
+def test_ep_a2a_matches_single_device(t, quant):
+    """a2a dispatch == single-device moe_experts (decode & prefill shapes)."""
+    rng = np.random.default_rng(1)
+    e, h, im, k, n = 8, 128, 128, 3, 4
+    x, idx, w, wg, wu, wd = _rand_moe(rng, e, h, im, t, k, quant)
+    want = np.asarray(moe_experts(x, idx, w, wg, wu, wd))
+
+    mesh = _mesh1d(n)
+    got = np.asarray(jax.jit(
+        lambda *a: moe_experts_ep(*a, mesh=mesh, dispatch="a2a")
+    )(x, idx, w, wg, wu, wd))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ep_a2a_on_dp_mesh_layer_stacked():
+    """a2a under a (dp, tp) mesh with layer-stacked weights + layer_idx."""
+    rng = np.random.default_rng(2)
+    e, h, im, k, t, L = 8, 64, 64, 2, 24, 3
+    x = jnp.asarray(rng.normal(size=(t, h)), jnp.float32)
+    router = jnp.asarray(rng.normal(size=(e, h)), jnp.float32)
+    idx, w = route_topk(x, router, jnp.zeros((e,)), k, 1.0)
+    stacks = [jnp.asarray(rng.normal(size=(L, e, h, im)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(L, e, h, im)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(L, e, im, h)).astype(np.float32))]
+
+    li = 1
+    want = np.asarray(moe_experts(
+        x, idx, w, stacks[0][li], stacks[1][li], stacks[2][li]))
+
+    mesh = make_mesh(dp=2, tp=4)
+    got = np.asarray(jax.jit(lambda *a: moe_experts_ep(
+        *a, mesh=mesh, layer_idx=jnp.int32(li), dispatch="a2a"
+    ))(x, idx, w, *stacks))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ep_fused_dense_kernel_matches_single_device():
+    """Quantized decode-shape EP runs the fused dense-mode kernel
+    (interpret mode on CPU) and matches the single-device output."""
+    rng = np.random.default_rng(3)
+    e, h, im, k, t, n = 8, 128, 128, 3, 8, 4
+    x, idx, w, wg, wu, wd = _rand_moe(rng, e, h, im, t, k, quant=True)
+    want = np.asarray(moe_experts(x, idx, w, wg, wu, wd))
+
+    mesh = _mesh1d(n)
+    os.environ["NVT_FUSED_MOE_INTERPRET"] = "1"
+    try:
+        got = np.asarray(jax.jit(
+            lambda *a: moe_experts_ep(*a, mesh=mesh, dispatch="auto")
+        )(x, idx, w, wg, wu, wd))
+    finally:
+        del os.environ["NVT_FUSED_MOE_INTERPRET"]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

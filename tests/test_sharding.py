@@ -49,13 +49,13 @@ TINY_MOE = ModelConfig(
 )
 
 
-def make_runner(mc, mesh=None, moe_parallel="im"):
+def make_runner(mc, mesh=None, moe_parallel="im", **kw):
     cfg = Config(
         model="", model_config=mc, max_num_seqs=4, max_model_len=128,
         kvcache_block_size=16, num_kvcache_blocks=64, prefill_chunk_size=64,
         enforce_eager=True, dtype="float32", kv_cache_dtype="float32",
         decode_buckets=(1, 2, 4), prefill_seq_buckets=(1, 2, 4),
-        prefill_len_buckets=(16, 32, 64), moe_parallel=moe_parallel,
+        prefill_len_buckets=(16, 32, 64), moe_parallel=moe_parallel, **kw,
     )
     return ModelRunner(cfg, mesh=mesh), Scheduler(cfg)
 
@@ -160,5 +160,23 @@ def test_quantized_lm_head_matches_single_device():
 
     mesh = make_mesh(dp=1, tp=4)
     r2, s2 = make_runner(mc, mesh=mesh)
+    sharded = greedy_tokens(r2, s2, prompts)
+    assert base == sharded
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4)])
+def test_ep_a2a_engine_matches_single_device(dp, tp):
+    """Full engine with ep_dispatch="a2a": all-to-all expert dispatch on
+    every MoE call (prefill AND decode) == single device."""
+    assert len(jax.devices()) >= dp * tp
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], list(range(11, 51))]
+
+    r1, s1 = make_runner(TINY_MOE)
+    base = greedy_tokens(r1, s1, prompts)
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    r2, s2 = make_runner(TINY_MOE, mesh=mesh, moe_parallel="ep",
+                         ep_dispatch="a2a")
+    assert r2.model.moe_ep and r2.model.ep_dispatch == "a2a"
     sharded = greedy_tokens(r2, s2, prompts)
     assert base == sharded
