@@ -212,6 +212,10 @@ class Config:
     # prefill warmup coverage: "frontier" (largest + smallest reachable seq
     # bucket per len bucket), "all" (every reachable (seq, len) combo), "off"
     warmup_prefill: str = "frontier"
+    # Pallas decode-attention compute-chunk size in tokens (pages per grid
+    # step x block_size); larger chunks batch page DMAs, smaller ones bound
+    # over-read past short contexts.
+    pa_chunk_tokens: int = 256
     hbm_bytes: int = -1  # override detected per-chip HBM size (testing)
     # --- multi-host (JAX multi-controller; parallel/multihost.py) ---
     # num_processes > 1 makes the engine call jax.distributed.initialize at

@@ -58,6 +58,14 @@ class ModelRunner:
         self.dtype = _DTYPES[config.dtype]
         self.kv_dtype = _DTYPES[config.kv_cache_dtype]
         self.mesh = mesh
+        try:  # engine-scoped decode-attention chunk size (traced-in shape)
+            from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
+                set_pa_chunk,
+            )
+
+            set_pa_chunk(config.pa_chunk_tokens)
+        except Exception:  # pallas import can fail off-TPU; XLA path then
+            pass
         self.model = build_model(mc, self.dtype)
 
         t0 = time.perf_counter()
@@ -103,6 +111,10 @@ class ModelRunner:
             pp_stack = None
             pp_cache_keys = ()
             if pp > 1:
+                assert self.kv_dtype != jnp.float8_e4m3fn, (
+                    "fp8 KV cache is not supported with pipeline parallelism "
+                    "yet (the pipeline stage fn handles plain cache arrays)"
+                )
                 assert self.model.pipeline_stack_size % pp == 0, (
                     self.model.pipeline_stack_size, pp,
                 )
@@ -216,10 +228,13 @@ class ModelRunner:
     def _kv_bytes_per_block(self) -> int:
         mc = self.config.model_config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        return (
-            2 * mc.num_layers * self.config.kvcache_block_size
-            * mc.num_kv_heads * mc.head_dim * itemsize
-        )
+        bs = self.config.kvcache_block_size
+        per_block = bs * mc.head_dim * itemsize
+        if self.kv_dtype == jnp.float8_e4m3fn:
+            from glm4_moe_nano_vllm_tpu.ops.kv_cache import scale_lanes
+
+            per_block += scale_lanes(bs) * 4  # f32 scale plane per block
+        return 2 * mc.num_layers * mc.num_kv_heads * per_block
 
     def _compute_num_blocks(self) -> int:
         cfg = self.config

@@ -58,7 +58,10 @@ def attention_block(
     b, s, _ = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rotary_dim = int(d * cfg.partial_rotary_factor)
-    block_size = k_cache.shape[2]
+    from glm4_moe_nano_vllm_tpu.ops.kv_cache import is_scaled_cache
+
+    kc_arr = k_cache["data"] if is_scaled_cache(k_cache) else k_cache
+    block_size = kc_arr.shape[2]
 
     q = linear(x, lp["wq"], lp.get("bq")).reshape(b, s, nq, d)
     k = linear(x, lp["wk"], lp.get("bk")).reshape(b, s, nkv, d)
@@ -155,7 +158,12 @@ def init_weight(key, shape, dtype, quant=None):
         return init_linear(key, shape, dtype)
     k, m = shape[-2], shape[-1]
     g = quant.group_size
-    assert k % g == 0, (shape, g)
+    if k % g != 0 or m % 8 != 0:
+        # group size does not divide the contraction dim (e.g. GLM-4.5-Air's
+        # dense-MLP down_proj: I=10944, G=128): real AWQ checkpoints keep
+        # such modules full-precision (`modules_to_not_convert`) — mirror
+        # that with an unquantized weight
+        return init_linear(key, shape, dtype)
     kg = shape[:-2] + (k // g, m)
     ks = jax.random.split(key, 2)
     if quant.method == "awq":

@@ -136,10 +136,13 @@ class Glm4MoeForCausalLM:
         kd, hd = cfg.num_kv_heads, cfg.head_dim
         self.num_blocks = num_blocks
 
+        from glm4_moe_nano_vllm_tpu.ops.kv_cache import make_kv_cache
+
         def zeros(n):
             # head-major, layer-flat paged layout (layer l's blocks at
-            # [l*num_blocks, (l+1)*num_blocks)), see ops/kv_cache.py
-            return jnp.zeros((kd, n * num_blocks, block_size, hd), dt)
+            # [l*num_blocks, (l+1)*num_blocks)), see ops/kv_cache.py;
+            # fp8 caches carry per-row scales ({data, scale} dict leaves)
+            return make_kv_cache((kd, n * num_blocks, block_size, hd), dt)
 
         return {
             "dense_k": zeros(self.num_dense), "dense_v": zeros(self.num_dense),

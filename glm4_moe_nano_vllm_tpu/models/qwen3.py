@@ -91,7 +91,9 @@ class Qwen3ForCausalLM:
                  cfg.head_dim)
         dt = kv_dtype or self.dtype
         self.num_blocks = num_blocks
-        return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+        from glm4_moe_nano_vllm_tpu.ops.kv_cache import make_kv_cache
+
+        return {"k": make_kv_cache(shape, dt), "v": make_kv_cache(shape, dt)}
 
     # ---- forward ---------------------------------------------------------
 

@@ -44,9 +44,14 @@ def paged_attention(
     # The all-heads-per-instance decode kernel beats the XLA gather at every
     # measured capacity (0.53ms vs 0.83ms per layer-step at 512-token
     # capacity, B=64); NVT_PA_MIN_CAPACITY retains an escape hatch.
-    kv_capacity = block_tables.shape[1] * k_cache.shape[2]
+    kc = k_cache["data"] if isinstance(k_cache, dict) else k_cache
+    kv_capacity = block_tables.shape[1] * kc.shape[2]
     min_cap = int(os.environ.get("NVT_PA_MIN_CAPACITY", "0"))
-    if _use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > min_cap:
+    # fp8 scale planes need 128-aligned lane windows: the Pallas kernels
+    # require block_size % 128 == 0 for scaled caches
+    fp8_ok = not isinstance(k_cache, dict) or kc.shape[2] % 128 == 0
+    if (_use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > min_cap
+            and fp8_ok):
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

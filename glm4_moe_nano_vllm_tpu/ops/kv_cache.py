@@ -23,14 +23,75 @@ and the kernels are layout-agnostic (they only chase block-table values).
 import jax
 import jax.numpy as jnp
 
+# FP8 (e4m3) KV storage is scaled per (token-row, head): a cache leaf becomes
+# {"data": e4m3 [H, NB, bs, D], "scale": f32 [H, NB, bs]}. Per-row scales are
+# write-incremental (a block filling over several steps never needs its old
+# rows re-quantized — a true per-block scale would) and strictly tighter than
+# per-block. Dequant folds into the attention math: scores *= k_scale_row and
+# p *= v_scale_row, so fp8 data is never materialized as bf16 tiles
+# (SURVEY §7 plan: "e4m3 + per-block scale", refined).
+FP8_MAX = 448.0  # float8_e4m3fn finite max
+
+
+def is_scaled_cache(cache) -> bool:
+    return isinstance(cache, dict) and "scale" in cache
+
+
+def make_kv_cache(shape, dtype):
+    """One cache leaf: a plain array, or a {data, scale} dict for fp8.
+
+    Scales are [H, NB, 1, bs_pad]: the block dim must stay UNTILED (Mosaic
+    can only DMA-slice untiled dims at dynamic offsets — same constraint as
+    the data array, whose tiled pair is (bs, D)), and the lane dim is padded
+    to the 128-lane tile (Mosaic rejects sub-tile lane slices)."""
+    if dtype == jnp.float8_e4m3fn:
+        h, nb, bs, _ = shape
+        return {
+            "data": jnp.zeros(shape, dtype),
+            "scale": jnp.zeros((h, nb, 1, scale_lanes(bs)), jnp.float32),
+        }
+    return jnp.zeros(shape, dtype)
+
+
+def scale_lanes(bs: int) -> int:
+    """Lane-padded width of the per-row scale plane (128-lane tiles)."""
+    return -(-bs // 128) * 128
+
+
+def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[T, H, D] → (e4m3 values, f32 scales [T, H])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / FP8_MAX, 1e-12)
+    q = (x.astype(jnp.float32) / scale[..., None]).astype(jnp.float8_e4m3fn)
+    return q, scale
+
 
 def write_kv(
-    k_cache: jax.Array,  # [H_kv, num_blocks, block_size, D]
-    v_cache: jax.Array,
+    k_cache,  # [H_kv, num_blocks, block_size, D] array or fp8 {data, scale}
+    v_cache,
     k_new: jax.Array,  # [T, H_kv, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,  # [T] int32; flat slot = block_id*block_size + off; -1 = skip
-) -> tuple[jax.Array, jax.Array]:
+):
+    if is_scaled_cache(k_cache):
+        kq, ks = quantize_kv_rows(k_new)
+        vq, vs = quantize_kv_rows(v_new)
+        nb, bs = k_cache["data"].shape[1], k_cache["data"].shape[2]
+        invalid = slot_mapping < 0
+        bidx = jnp.where(invalid, nb, slot_mapping // bs)
+        boff = jnp.where(invalid, 0, slot_mapping % bs)
+
+        def scatter(cache, vals, scales):
+            return {
+                "data": cache["data"].at[:, bidx, boff].set(
+                    vals.transpose(1, 0, 2), mode="drop"
+                ),
+                "scale": cache["scale"].at[:, bidx, 0, boff].set(
+                    scales.T, mode="drop"
+                ),
+            }
+
+        return scatter(k_cache, kq, ks), scatter(v_cache, vq, vs)
     h, nb, bs, d = k_cache.shape
     # Scatter in the native 4-D layout: reshaping [H, NB, bs, D] to merge the
     # (block, offset) dims re-tiles the array on TPU — a physical full-cache
@@ -50,17 +111,27 @@ def write_kv(
 
 
 def gather_kv(
-    k_cache: jax.Array,  # [H_kv, num_blocks, block_size, D]
-    v_cache: jax.Array,
+    k_cache,  # [H_kv, num_blocks, block_size, D] array or fp8 {data, scale}
+    v_cache,
     block_tables: jax.Array,  # [B, max_blocks] int32 (pad with 0; masked later)
 ) -> tuple[jax.Array, jax.Array]:
     """Gather each sequence's paged context into dense [H, B, max_blocks*bs, D].
 
     Reference (XLA) implementation of the context read; the Pallas attention
     kernels read blocks directly from HBM instead of materializing this.
+    FP8 caches are dequantized here (scale per row).
     """
     bt = jnp.maximum(block_tables, 0)
-    k = k_cache[:, bt]  # [H, B, max_blocks, bs, D]
-    v = v_cache[:, bt]
-    h, b, mb, bs, d = k.shape
-    return k.reshape(h, b, mb * bs, d), v.reshape(h, b, mb * bs, d)
+
+    def one(cache):
+        if is_scaled_cache(cache):
+            x = cache["data"][:, bt].astype(jnp.float32)
+            bs = x.shape[-2]
+            s = cache["scale"][:, bt, 0, :bs].astype(jnp.float32)
+            x = x * s[..., None]
+        else:
+            x = cache[:, bt]  # [H, B, max_blocks, bs, D]
+        h, b, mb, bs, d = x.shape
+        return x.reshape(h, b, mb * bs, d)
+
+    return one(k_cache), one(v_cache)

@@ -84,34 +84,36 @@ def _kv_write_kernel(
     blk_ref,  # target block id, -1 = skip
     lo_ref,  # first block row to overwrite
     hi_ref,  # one-past-last block row
-    # inputs
-    knew,  # [E, H, bs, D] ANY: per-entry source slab (row r of entry e is
-    vnew,  # the new value for block row r — pre-gathered in XLA, since
-    #        Mosaic can't DMA-slice a tiled dim at an unaligned dynamic start)
-    kc_in,  # [H, NB, bs, D] ANY, aliased to output 0
-    vc_in,  # aliased to output 1
-    # outputs (same HBM buffers as kc_in/vc_in)
-    kc_out,
-    vc_out,
-    # scratch
-    kblk,  # [G, H, bs, D] VMEM
-    vblk,
-    ksrc,
-    vsrc,
-    sems,  # [4, G] DMA semaphores
-    *,
+    # inputs (with scaled=True, per-row fp8 scale planes ride along):
+    #   knew, vnew [E, H, bs, D]; [ksnew, vsnew [E, H, bs]];
+    #   kc_in, vc_in [H, NB, bs, D] (aliased); [ksc_in, vsc_in [H, NB, bs]]
+    # outputs mirror the aliased cache inputs
+    # scratch: kblk/vblk/ksrc/vsrc [G, H, bs, D]; scale variants [G, H, bs];
+    #   sems [n_bufs, G]
+    *refs,
     bs: int,
     group: int,
+    scaled: bool,
 ):
+    n_t = 4 if scaled else 2  # tensors per direction (k, v[, ks, vs])
+    ins = refs[:n_t]  # knew, vnew[, ksnew, vsnew]
+    caches_in = refs[n_t: 2 * n_t]
+    caches_out = refs[2 * n_t: 3 * n_t]
+    bufs = refs[3 * n_t: 4 * n_t]
+    srcs = refs[4 * n_t: 5 * n_t]
+    sems = refs[-1]
     step = pl.program_id(0)
 
     def in_copies(idx, e, blk):
-        return (
-            pltpu.make_async_copy(kc_in.at[:, blk], kblk.at[idx], sems.at[0, idx]),
-            pltpu.make_async_copy(vc_in.at[:, blk], vblk.at[idx], sems.at[1, idx]),
-            pltpu.make_async_copy(knew.at[e], ksrc.at[idx], sems.at[2, idx]),
-            pltpu.make_async_copy(vnew.at[e], vsrc.at[idx], sems.at[3, idx]),
-        )
+        cs = []
+        for t in range(n_t):
+            cs.append(pltpu.make_async_copy(
+                caches_in[t].at[:, blk], bufs[t].at[idx], sems.at[t, idx]
+            ))
+            cs.append(pltpu.make_async_copy(
+                ins[t].at[e], srcs[t].at[idx], sems.at[n_t + t, idx]
+            ))
+        return cs
 
     # start every group member's reads first so the DMAs overlap
     for idx in range(group):
@@ -124,6 +126,9 @@ def _kv_write_kernel(
                 c.start()
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1), 1)
+    if scaled:  # scale planes: block row r sits at lane r (lane-padded)
+        lanes = bufs[2].shape[-1]
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
     for idx in range(group):
         e = step * group + idx
         blk = blk_ref[e]
@@ -133,14 +138,14 @@ def _kv_write_kernel(
             for c in in_copies(idx, e, blk):
                 c.wait()
             m = (rows >= lo_ref[e]) & (rows < hi_ref[e])
-            kblk[idx] = jnp.where(m, ksrc[idx], kblk[idx])
-            vblk[idx] = jnp.where(m, vsrc[idx], vblk[idx])
-            pltpu.make_async_copy(
-                kblk.at[idx], kc_out.at[:, blk], sems.at[0, idx]
-            ).start()
-            pltpu.make_async_copy(
-                vblk.at[idx], vc_out.at[:, blk], sems.at[1, idx]
-            ).start()
+            m2 = ((rows2 >= lo_ref[e]) & (rows2 < hi_ref[e])
+                  if scaled else None)
+            for t in range(n_t):
+                mask = m if t < 2 else m2  # k/v data, then scale planes
+                bufs[t][idx] = jnp.where(mask, srcs[t][idx], bufs[t][idx])
+                pltpu.make_async_copy(
+                    bufs[t].at[idx], caches_out[t].at[:, blk], sems.at[t, idx]
+                ).start()
 
     # write-backs must complete inside this grid step (a later *step* may RMW
     # the same block) but can overlap each other — same-step entries never
@@ -151,26 +156,36 @@ def _kv_write_kernel(
 
         @pl.when(blk >= 0)
         def _(idx=idx, blk=blk):
-            pltpu.make_async_copy(
-                kblk.at[idx], kc_out.at[:, blk], sems.at[0, idx]
-            ).wait()
-            pltpu.make_async_copy(
-                vblk.at[idx], vc_out.at[:, blk], sems.at[1, idx]
-            ).wait()
+            for t in range(n_t):
+                pltpu.make_async_copy(
+                    bufs[t].at[idx], caches_out[t].at[:, blk], sems.at[t, idx]
+                ).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def write_kv_pallas(
-    k_cache: jax.Array,  # [H, NB, bs, D] (layer-flat paged cache)
-    v_cache: jax.Array,
+    k_cache,  # [H, NB, bs, D] (layer-flat paged cache) or fp8 {data, scale}
+    v_cache,
     k_new: jax.Array,  # [T, H, D], T = B*S new rows
     v_new: jax.Array,
     block_tables: jax.Array,  # [B, MAXB] (layer offsets already applied)
     positions0: jax.Array,  # [B] start position per row
     context_lens: jax.Array,  # [B]
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    h, nb, bs, d = k_cache.shape
+):
+    from glm4_moe_nano_vllm_tpu.ops.kv_cache import (
+        is_scaled_cache,
+        quantize_kv_rows,
+    )
+
+    scaled = is_scaled_cache(k_cache)
+    if scaled:
+        kc_arr, vc_arr = k_cache["data"], v_cache["data"]
+        k_new, ks_new = quantize_kv_rows(k_new)
+        v_new, vs_new = quantize_kv_rows(v_new)
+    else:
+        kc_arr, vc_arr = k_cache, v_cache
+    h, nb, bs, d = kc_arr.shape
     b = block_tables.shape[0]
     t = k_new.shape[0]
     s = t // b
@@ -187,7 +202,7 @@ def write_kv_pallas(
     # + k/v source), ~12 MB budget leaves headroom under the ~16 MB limit
     # (groups >8 measured no better — the grid-step count isn't the binding
     # cost at decode shapes)
-    slab_bytes = h * bs * d * jnp.dtype(k_cache.dtype).itemsize
+    slab_bytes = h * bs * d * jnp.dtype(kc_arr.dtype).itemsize
     group = max(1, min(8, entries, (12 << 20) // (4 * slab_bytes)))
     pad = -entries % group
     flat = lambda a: jnp.pad(a.reshape(-1), (0, pad), constant_values=-1)
@@ -199,45 +214,61 @@ def write_kv_pallas(
     # (untiled) leading dim.
     row_idx = (bs + src0 - lo)[:, :, None] + jnp.arange(bs, dtype=jnp.int32)
 
-    def stage(x):
-        xp = jnp.pad(x.astype(k_cache.dtype), ((bs, bs), (0, 0), (0, 0)))
+    def stage(x, dt):
+        xp = jnp.pad(x.astype(dt), ((bs, bs), (0, 0), (0, 0)))
         sl = xp[row_idx.reshape(-1)]  # [B*J*bs, H, D]
-        sl = sl.reshape(entries, bs, h, d).transpose(0, 2, 1, 3)
+        sl = sl.reshape(entries, bs, h, -1).transpose(0, 2, 1, 3)
         return jnp.pad(sl, ((0, pad), (0, 0), (0, 0), (0, 0)))
 
-    knew, vnew = stage(k_new), stage(v_new)
+    ins = [stage(k_new, kc_arr.dtype), stage(v_new, vc_arr.dtype)]
+    caches = [kc_arr, vc_arr]
+    if scaled:
+        # scale planes [T, H] stage to [E, H, 1, bs_pad] (one f32 scale per
+        # row; singleton keeps the block dim untiled and the lane dim is
+        # 128-tile padded, see make_kv_cache)
+        lanes = k_cache["scale"].shape[-1]
 
+        def stage_scale(x):
+            sl = stage(x[..., None], jnp.float32).transpose(0, 1, 3, 2)
+            return jnp.pad(sl, ((0, 0), (0, 0), (0, 0), (0, lanes - bs)))
+
+        ins += [stage_scale(ks_new), stage_scale(vs_new)]
+        caches += [k_cache["scale"], v_cache["scale"]]
+
+    n_t = len(caches)
+    # scale planes get an EXPLICIT HBM space: their lane dim is bs (< 128 for
+    # small blocks), and when ANY resolves small arrays to VMEM, Mosaic
+    # rejects sub-128-lane DMA slices of the tiled operand; HBM arrays are
+    # untiled and slice freely
+    def space(c):
+        return pl.BlockSpec(
+            memory_space=pltpu.HBM if c.dtype == jnp.float32 and scaled
+            else pl.ANY
+        )
+
+    # one block buffer + one source slab per tensor: [G, H, bs(, D)]
+    scratch = [pltpu.VMEM((group,) + c.shape[:1] + c.shape[2:], c.dtype)
+               for c in caches + caches]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=((entries + pad) // group,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((group, h, bs, d), k_cache.dtype),
-            pltpu.VMEM((group, h, bs, d), k_cache.dtype),
-            pltpu.VMEM((group, h, bs, d), k_cache.dtype),
-            pltpu.VMEM((group, h, bs, d), k_cache.dtype),
-            pltpu.SemaphoreType.DMA((4, group)),
-        ],
+        in_specs=[space(i) for i in ins] + [space(c) for c in caches],
+        out_specs=[space(c) for c in caches],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2 * n_t, group))],
     )
-    return pl.pallas_call(
-        functools.partial(_kv_write_kernel, bs=bs, group=group),
+    outs = pl.pallas_call(
+        functools.partial(_kv_write_kernel, bs=bs, group=group, scaled=scaled),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ],
-        input_output_aliases={5: 0, 6: 1},
+        out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
+        input_output_aliases={3 + n_t + i: i for i in range(n_t)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(blk_f, lo_f, hi_f, knew, vnew, k_cache, v_cache)
+    )(blk_f, lo_f, hi_f, *ins, *caches)
+    if scaled:
+        return (
+            {"data": outs[0], "scale": outs[2]},
+            {"data": outs[1], "scale": outs[3]},
+        )
+    return outs[0], outs[1]

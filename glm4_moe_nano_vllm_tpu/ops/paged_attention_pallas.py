@@ -40,8 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# compute-chunk size in tokens (read once at import; programs cache by shape)
+# decode compute-chunk size in tokens. Config.pa_chunk_tokens sets it per
+# engine (ModelRunner calls set_pa_chunk before tracing); NVT_PA_CHUNK is a
+# tuning-session override.
 _PA_CHUNK = int(os.environ.get("NVT_PA_CHUNK", "256"))
+
+
+def set_pa_chunk(tokens: int) -> None:
+    global _PA_CHUNK
+    if not os.environ.get("NVT_PA_CHUNK"):
+        _PA_CHUNK = tokens
 
 
 class _ChunkCopy:
@@ -72,32 +80,53 @@ class _ChunkCopy:
             pl.when(cond)(c.wait)
 
 
+class _ScaleChunkCopy(_ChunkCopy):
+    """fp8 per-row scale planes [Hkv, NB, 1, bs] land chunk-contiguously in
+    a [Hkv, 1, chunk] lane window (page j at lanes [j*bs, (j+1)*bs) — offsets
+    are 128-aligned because the fp8 Pallas path requires bs % 128 == 0), so
+    the score multiply needs no relayout."""
+
+    def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc,
+                 first_page, pages_needed, bs):
+        self.entries = []
+        for j in range(bpc):
+            page = pi_ref[page_offset + j]
+            cond = first_page + j < pages_needed
+            self.entries.append(
+                (pltpu.make_async_copy(
+                    hbm_ref.at[:, page],
+                    buf.at[:, :, pl.ds(j * bs, bs)], sem),
+                 cond)
+            )
+
+
 def _decode_kernel(
     # scalar prefetch (SMEM)
     len_ref,  # [B] int32 context lengths
     pi_ref,  # [B * MAXB] int32 flattened block tables
     buf_ref,  # [1] int32 current buffer slot (mutable)
     init_ref,  # [1] int32 first-executed-step flag (mutable)
-    # inputs
-    q_ref,  # [1, Hkv, G, D] VMEM
-    k_hbm,  # [Hkv, NB, bs, D] ANY
-    v_hbm,
-    # output
-    o_ref,  # [1, Hkv, G, D]
-    # scratch
-    m_scr,  # [Hkv, G, 1] f32
-    l_scr,  # [Hkv, G, 1] f32
-    acc_scr,  # [Hkv, G, D] f32
-    k_buf,  # [2, Hkv, bpc, bs, D]
-    v_buf,
-    sems,  # [2, 2] DMA semaphores
-    *,
+    # inputs: q [1, Hkv, G, D] VMEM; k/v caches [Hkv, NB, bs, D] ANY;
+    #   scaled=True adds ks/vs [Hkv, NB, 1, bs] f32 ANY (fp8 per-row scales)
+    # output: o [1, Hkv, G, D]
+    # scratch: m/l [Hkv, G, 1] f32; acc [Hkv, G, D] f32;
+    #   k/v bufs [2, Hkv, bpc, bs, D]; (+ ks/vs bufs [2, Hkv, bpc, 1, bs]);
+    #   sems [2 or 4, 2]
+    *refs,
     block_size: int,
     sm_scale: float,
     bpc: int,
     maxb: int,
     batch: int,
+    scaled: bool,
 ):
+    if scaled:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         m_scr, l_scr, acc_scr, k_buf, v_buf, ks_buf, vs_buf, sems) = refs
+    else:
+        (q_ref, k_hbm, v_hbm, o_ref,
+         m_scr, l_scr, acc_scr, k_buf, v_buf, sems) = refs
+        ks_buf = vs_buf = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     chunk = block_size * bpc
@@ -108,11 +137,20 @@ def _decode_kernel(
         first = i_ * bpc
         needed = (len_ref[jax.lax.clamp(0, b_, batch - 1)]
                   + block_size - 1) // block_size
-        ck = _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off,
-                        bpc, first, needed)
-        cv = _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off,
-                        bpc, first, needed)
-        return ck, cv
+        cs = [
+            _ChunkCopy(k_hbm, k_buf.at[slot], sems.at[0, slot], pi_ref, off,
+                       bpc, first, needed),
+            _ChunkCopy(v_hbm, v_buf.at[slot], sems.at[1, slot], pi_ref, off,
+                       bpc, first, needed),
+        ]
+        if scaled:
+            cs.append(_ScaleChunkCopy(ks_hbm, ks_buf.at[slot],
+                                      sems.at[2, slot], pi_ref, off, bpc,
+                                      first, needed, block_size))
+            cs.append(_ScaleChunkCopy(vs_hbm, vs_buf.at[slot],
+                                      sems.at[3, slot], pi_ref, off, bpc,
+                                      first, needed, block_size))
+        return cs
 
     def next_indices(b_, i_):
         """First schedulable (b, i) at or after the given one (scan i→b,
@@ -152,9 +190,11 @@ def _decode_kernel(
             # poison the masked p=0 * v accumulation (0 * NaN = NaN)
             k_buf[...] = jnp.zeros_like(k_buf)
             v_buf[...] = jnp.zeros_like(v_buf)
-            ck, cv = copies_for(b, i, buf)
-            ck.start()
-            cv.start()
+            if scaled:
+                ks_buf[...] = jnp.zeros_like(ks_buf)
+                vs_buf[...] = jnp.zeros_like(vs_buf)
+            for c in copies_for(b, i, buf):
+                c.start()
 
         init_ref[0] = 0
 
@@ -162,23 +202,25 @@ def _decode_kernel(
 
         @pl.when(nb < batch)
         def _():
-            nbuf = 1 - buf
-            ck, cv = copies_for(nb, ni, nbuf)
-            ck.start()
-            cv.start()
+            for c in copies_for(nb, ni, 1 - buf):
+                c.start()
 
         # flip only when a prefetch was actually issued
         buf_ref[0] = jnp.where(nb < batch, 1 - buf, buf)
 
-        ck, cv = copies_for(b, i, buf)
+        cs = copies_for(b, i, buf)
         q = q_ref[0].astype(jnp.float32) * sm_scale  # [Hkv, G, D]
-        ck.wait()
+        cs[0].wait()
         hkv = q.shape[0]
         k = k_buf[buf].reshape(hkv, chunk, -1).astype(jnp.float32)
         # [Hkv, G, chunk] batched over heads
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+        if scaled:
+            # fp8 dequant folds into the scores: one multiply per kv row
+            cs[2].wait()
+            s = s * ks_buf[buf]  # [hkv, 1, chunk] broadcast over G
         pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
@@ -187,8 +229,12 @@ def _decode_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        cv.wait()
+        cs[1].wait()
         v = v_buf[buf].reshape(hkv, chunk, -1).astype(jnp.float32)
+        if scaled:
+            # v's per-row scale folds into p (p @ (v*s) == (p*s) @ v)
+            cs[3].wait()
+            p = p * vs_buf[buf]  # [hkv, 1, chunk]
         acc_new = acc_scr[...] * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -204,15 +250,20 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def paged_attention_decode(
     q: jax.Array,  # [B, Hq, D]
-    k_cache: jax.Array,  # [Hkv, NB, bs, D]
-    v_cache: jax.Array,
+    k_cache,  # [Hkv, NB, bs, D] or fp8 {data, scale [Hkv, NB, 1, bs]}
+    v_cache,
     block_tables: jax.Array,  # [B, MAXB] int32
     context_lens: jax.Array,  # [B] int32
     sm_scale: float,
     interpret: bool = False,
 ) -> jax.Array:
+    from glm4_moe_nano_vllm_tpu.ops.kv_cache import is_scaled_cache
+
+    scaled = is_scaled_cache(k_cache)
+    kc = k_cache["data"] if scaled else k_cache
+    vc = v_cache["data"] if scaled else v_cache
     b, hq, d = q.shape
-    hkv, nb, bs, _ = k_cache.shape
+    hkv, nb, bs, _ = kc.shape
     assert hq % hkv == 0
     g = hq // hkv
     maxb = block_tables.shape[1]
@@ -224,23 +275,32 @@ def paged_attention_decode(
     cmax = pl.cdiv(maxb, bpc)
 
     q4 = q.reshape(b, hkv, g, d)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # scale planes pinned to HBM (sub-128-lane slices; see kv_write_pallas)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    caches = [kc, vc] + ([k_cache["scale"], v_cache["scale"]] if scaled else [])
+    cache_specs = [any_spec, any_spec] + [hbm_spec] * (len(caches) - 2)
+    scratch = [
+        pltpu.VMEM((hkv, g, 1), jnp.float32),
+        pltpu.VMEM((hkv, g, 1), jnp.float32),
+        pltpu.VMEM((hkv, g, d), jnp.float32),
+        pltpu.VMEM((2, hkv, bpc, bs, d), kc.dtype),
+        pltpu.VMEM((2, hkv, bpc, bs, d), vc.dtype),
+    ]
+    if scaled:
+        assert bs % 128 == 0, (
+            "fp8 Pallas decode needs block_size % 128 == 0 (scale lanes); "
+            "ops/attention.py routes other block sizes to the XLA path"
+        )
+        scratch += [pltpu.VMEM((2, hkv, 1, bs * bpc), jnp.float32)] * 2
+    scratch.append(pltpu.SemaphoreType.DMA((len(caches), 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, cmax),
-        in_specs=[
-            pl.BlockSpec((1, hkv, g, d), lambda i, c, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec((1, hkv, g, d), lambda i, c, *_: (i, 0, 0, 0))]
+        + cache_specs,
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, c, *_: (i, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, d), jnp.float32),
-            pltpu.VMEM((2, hkv, bpc, bs, d), k_cache.dtype),
-            pltpu.VMEM((2, hkv, bpc, bs, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
@@ -250,6 +310,7 @@ def paged_attention_decode(
             bpc=bpc,
             maxb=maxb,
             batch=b,
+            scaled=scaled,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
@@ -263,8 +324,7 @@ def paged_attention_decode(
         jnp.zeros((1,), jnp.int32),
         jnp.ones((1,), jnp.int32),
         q4,
-        k_cache,
-        v_cache,
+        *caches,
     )
     return out.reshape(b, hq, d)
 

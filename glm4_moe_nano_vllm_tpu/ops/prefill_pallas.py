@@ -30,19 +30,23 @@ def _prefill_kernel(
     ctx_ref,  # [B, 1] int32 SMEM (full)
     qlen_ref,  # [B, 1] int32 SMEM (full)
     bt_ref,  # [B, MAXB] int32 SMEM (full)
-    q_ref,  # [1, TQ, 1, G, D] VMEM
-    k_hbm,  # [Hkv, NB, bs, D] ANY
-    v_hbm,
-    o_ref,  # [1, TQ, 1, G, D]
-    k_scr,  # [2, bs, D]
-    v_scr,
-    sems,
-    *,
+    *refs,  # q [1, TQ, 1, G, D]; k/v [Hkv, NB, bs, D] ANY (+ fp8 scale
+    #         planes ks/vs [Hkv, NB, 1, bs] ANY); o; scratch k/v [2, bs, D]
+    #         (+ ks/vs [2, 1, bs]); sems [2 or 4, 2]
     block_size: int,
     sm_scale: float,
     tq: int,
     g: int,
+    scaled: bool,
 ):
+    if scaled:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         k_scr, v_scr, ks_scr, vs_scr, sems) = refs
+        tensors = ((k_hbm, k_scr), (v_hbm, v_scr),
+                   (ks_hbm, ks_scr), (vs_hbm, vs_scr))
+    else:
+        q_ref, k_hbm, v_hbm, o_ref, k_scr, v_scr, sems = refs
+        tensors = ((k_hbm, k_scr), (v_hbm, v_scr))
     b = pl.program_id(0)
     h = pl.program_id(1)
     t = pl.program_id(2)
@@ -54,8 +58,7 @@ def _prefill_kernel(
     d = q_ref.shape[-1]
 
     def dma(tensor_idx, slot, blk_idx):
-        hbm = k_hbm if tensor_idx == 0 else v_hbm
-        scr = k_scr if tensor_idx == 0 else v_scr
+        hbm, scr = tensors[tensor_idx]
         blk = bt_ref[b, blk_idx]
         return pltpu.make_async_copy(
             hbm.at[h, blk], scr.at[slot], sems.at[tensor_idx, slot]
@@ -71,8 +74,8 @@ def _prefill_kernel(
         hi = q_start + jnp.minimum(qlen, tile_start + tq)
         nblks = pl.cdiv(hi, block_size)
 
-        dma(0, 0, 0).start()
-        dma(1, 0, 0).start()
+        for ti in range(len(tensors)):
+            dma(ti, 0, 0).start()
 
         q = q_ref[0, :, 0].astype(jnp.float32) * sm_scale  # [TQ, G, D]
         q2 = q.reshape(rows, d)
@@ -88,11 +91,11 @@ def _prefill_kernel(
             @pl.when(i + 1 < nblks)
             def _():
                 nxt = jax.lax.rem(i + 1, 2)
-                dma(0, nxt, i + 1).start()
-                dma(1, nxt, i + 1).start()
+                for ti in range(len(tensors)):
+                    dma(ti, nxt, i + 1).start()
 
-            dma(0, slot, i).wait()
-            dma(1, slot, i).wait()
+            for ti in range(len(tensors)):
+                dma(ti, slot, i).wait()
             k = k_scr[slot].astype(jnp.float32)  # [bs, D]
             v = v_scr[slot].astype(jnp.float32)
 
@@ -100,6 +103,8 @@ def _prefill_kernel(
                 q2, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [rows, bs]
+            if scaled:  # fp8: per-row k scale folds into the scores
+                s = s * ks_scr[slot][0, :block_size][None, :]
             kv_pos = i * block_size + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_size), 1
             )
@@ -112,8 +117,10 @@ def _prefill_kernel(
             # exp(s - m_new) == 1 would poison l/acc
             p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = (p * vs_scr[slot][0, :block_size][None, :]
+                  if scaled else p)
             acc_new = acc * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32
+                pv, v, preferred_element_type=jnp.float32
             )
             return m_new, l_new, acc_new
 
@@ -128,16 +135,24 @@ def _prefill_kernel(
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def paged_prefill(
     q: jax.Array,  # [B, S_q, Hq, D]
-    k_cache: jax.Array,  # [Hkv, NB, bs, D]
-    v_cache: jax.Array,
+    k_cache,  # [Hkv, NB, bs, D] or fp8 {data, scale [Hkv, NB, 1, bs]}
+    v_cache,
     block_tables: jax.Array,  # [B, MAXB]
     context_lens: jax.Array,  # [B]
     q_lens: jax.Array,  # [B] number of real query tokens per sequence
     sm_scale: float,
     interpret: bool = False,
 ) -> jax.Array:
+    from glm4_moe_nano_vllm_tpu.ops.kv_cache import is_scaled_cache
+
+    scaled = is_scaled_cache(k_cache)
+    caches = (
+        [k_cache["data"], v_cache["data"], k_cache["scale"], v_cache["scale"]]
+        if scaled else [k_cache, v_cache]
+    )
+    kc, vc = caches[0], caches[1]
     b, sq, hq, d = q.shape
-    hkv, nb, bs, _ = k_cache.shape
+    hkv, nb, bs, _ = kc.shape
     assert hq % hkv == 0
     g = hq // hkv
     maxb = block_tables.shape[1]
@@ -151,9 +166,18 @@ def paged_prefill(
     n_tiles = pl.cdiv(sq, tq)
     q5 = q.reshape(b, sq, hkv, g, d)
 
+    scratch = [
+        pltpu.VMEM((2, bs, d), kc.dtype),
+        pltpu.VMEM((2, bs, d), vc.dtype),
+    ]
+    if scaled:
+        lanes = k_cache["scale"].shape[-1]  # 128-lane-padded bs
+        scratch += [pltpu.VMEM((2, 1, lanes), jnp.float32)] * 2
+    scratch.append(pltpu.SemaphoreType.DMA((len(caches), 2)))
     out = pl.pallas_call(
         functools.partial(
-            _prefill_kernel, block_size=bs, sm_scale=sm_scale, tq=tq, g=g
+            _prefill_kernel, block_size=bs, sm_scale=sm_scale, tq=tq, g=g,
+            scaled=scaled,
         ),
         grid=(b, hkv, n_tiles),
         in_specs=[
@@ -163,17 +187,14 @@ def paged_prefill(
             pl.BlockSpec((1, tq, 1, g, d), lambda i, j, t: (i, t, j, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+            # scale planes pinned to HBM (sub-128-lane slices)
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * (len(caches) - 2),
         out_specs=pl.BlockSpec((1, tq, 1, g, d), lambda i, j, t: (i, t, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, sq, hkv, g, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, bs, d), k_cache.dtype),
-            pltpu.VMEM((2, bs, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * maxb * bs * d // 2,
-            bytes_accessed=2 * b * hkv * maxb * bs * d * k_cache.dtype.itemsize,
+            bytes_accessed=2 * b * hkv * maxb * bs * d * kc.dtype.itemsize,
             transcendentals=b * hq * sq * maxb * bs // 2,
         ),
         interpret=interpret,
@@ -182,8 +203,7 @@ def paged_prefill(
         q_lens.reshape(b, 1),
         block_tables,
         q5,
-        k_cache,
-        v_cache,
+        *caches,
     )
     return out.reshape(b, sq, hq, d)
 

@@ -155,11 +155,14 @@ def param_specs(
 def cache_specs(caches, replicate_kv: bool = False, pp_keys: tuple = ()) -> dict:
     """KV caches: [H_kv, L*num_blocks, block_size, D] → heads on tp; stacks
     named in ``pp_keys`` additionally shard the layer-flat block dim over pp
-    (contiguous layer slabs → each pp stage owns its own layers' blocks)."""
+    (contiguous layer slabs → each pp stage owns its own layers' blocks).
+    FP8 caches are {data, scale} dicts; the scale plane [H, NB, 1, bs]
+    shards like its data."""
 
     def spec(path, leaf):
         assert leaf.ndim == 4
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        name = names[-2] if names[-1] in ("data", "scale") else names[-1]
         blocks = "pp" if name in pp_keys else None
         heads = None if replicate_kv else "tp"
         return P(heads, blocks, None, None)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glm4_moe_nano_vllm_tpu.config import QuantConfig
+from glm4_moe_nano_vllm_tpu.config import Config, QuantConfig
 from glm4_moe_nano_vllm_tpu.ops.quant import (
     AWQ_ORDER,
     awq_dequantize,
@@ -301,3 +301,83 @@ def test_quant_dense_matmul_kernel(method):
     got = np.asarray(quant_dense_matmul(x, qp, interpret=True))
     want = np.asarray(x @ dequantize(qp, jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["int8", "awq"])
+def test_structured_weights_ppl_delta(method):
+    """ΔPPL gate on trained-like (NOT i.i.d.) weights: per-channel log-normal
+    scale spread + outlier channels — the statistics that make group
+    quantization hard on real checkpoints (VERDICT item 5). Gate: relative
+    ΔPPL within the BASELINE.md bar's equivalent (0.1 absolute at PPL≈8 →
+    1.25% relative)."""
+    from dataclasses import replace
+
+    from glm4_moe_nano_vllm_tpu.config import ModelConfig
+    from glm4_moe_nano_vllm_tpu.models.registry import build_model
+    from glm4_moe_nano_vllm_tpu.utils.ppl import perplexity
+    from glm4_moe_nano_vllm_tpu.utils.structured import (
+        quantize_params,
+        structure_params,
+    )
+
+    mc = ModelConfig(
+        architecture="glm4_moe", vocab_size=512, hidden_size=128,
+        num_layers=3, num_heads=4, num_kv_heads=2, head_dim=32,
+        intermediate_size=256, max_position_embeddings=1024,
+        partial_rotary_factor=0.5, use_qk_norm=True, attention_bias=True,
+        tie_word_embeddings=True, eos_token_id=0, n_routed_experts=8,
+        num_experts_per_tok=2, moe_intermediate_size=128, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+    )
+    import jax
+
+    model_fp = build_model(mc, jnp.float32)
+    params = model_fp.init_params(jax.random.PRNGKey(3))
+    params = structure_params(params, seed=7)
+    # sharpen the (tied) head so logits are peaky, then evaluate on
+    # sequences the fp model GENERATES itself: the model assigns high
+    # probability to its own samples, so PPL sits far below vocab-uniform
+    # and quantization error actually moves it (random token sequences give
+    # near-uniform logits — the emptiness VERDICT item 5 calls out)
+    params["embed"] = params["embed"] * 6.0
+    seqs = _self_generated_sequences(mc, params)
+    ppl_fp = perplexity(model_fp, params, seqs)
+
+    mc_q = replace(mc, quant=QuantConfig(
+        method=method, bits=8 if method == "int8" else 4, group_size=128))
+    model_q = build_model(mc_q, jnp.float32)
+    params_q = quantize_params(model_q, params)
+    ppl_q = perplexity(model_q, params_q, seqs)
+    delta = ppl_q - ppl_fp
+    # the model's own samples give PPL ~2.8 here (peaky logits), so the
+    # BASELINE.md absolute bar applies directly; int8 must be ~noise
+    assert ppl_fp < 6.0, f"eval distribution not peaky (ppl={ppl_fp})"
+    bound = 0.02 if method == "int8" else 0.1
+    assert abs(delta) <= bound, (ppl_fp, ppl_q, delta)
+
+
+def _self_generated_sequences(mc, params, n=4, length=64):
+    from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+    from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+    from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+    from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+    cfg = Config(
+        model="", model_config=mc, max_num_seqs=n, max_model_len=256,
+        max_num_batched_tokens=512, kvcache_block_size=16,
+        num_kvcache_blocks=128, prefill_chunk_size=64, enforce_eager=True,
+        dtype="float32", kv_cache_dtype="float32", decode_buckets=(n,),
+        prefill_seq_buckets=(n,), prefill_len_buckets=(16,), rng_seed=11,
+    )
+    runner = ModelRunner(cfg, params=params)
+    sched = Scheduler(cfg)
+    rng = np.random.default_rng(5)
+    sp = SamplingParams(temperature=0.9, max_tokens=length, ignore_eos=True)
+    seqs = [Sequence(rng.integers(1, 500, size=4).tolist(), sp)
+            for _ in range(n)]
+    for q in seqs:
+        sched.add(q)
+    while not sched.is_finished():
+        batch = sched.schedule()
+        sched.postprocess(batch, runner.run(batch))
+    return [q.token_ids for q in seqs]
