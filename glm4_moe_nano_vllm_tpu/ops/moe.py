@@ -39,7 +39,17 @@ def route_topk(
     )
     scores = jax.nn.sigmoid(logits)
     scores_for_choice = scores + correction_bias[None, :].astype(jnp.float32)
-    _, topk_idx = jax.lax.top_k(scores_for_choice, top_k)
+    if _on_tpu():
+        # TPU-native partial-reduction top-k: measured 0.47 ms vs
+        # lax.top_k's ~2000 ms per [16K, 128] top-8 in a chained-scan
+        # program (examples/router_topk_bench.py); recall_target=1.0 is
+        # exact and the selection was verified identical on-chip. Expert
+        # order within the k may differ from top_k's — routing is
+        # order-invariant (weights are gathered per selected expert).
+        _, topk_idx = jax.lax.approx_max_k(scores_for_choice, top_k,
+                                           recall_target=1.0)
+    else:
+        _, topk_idx = jax.lax.top_k(scores_for_choice, top_k)
     topk_w = jnp.take_along_axis(scores, topk_idx, axis=-1)
     if norm_topk_prob:
         topk_w = topk_w / (jnp.sum(topk_w, axis=-1, keepdims=True) + 1e-20)
@@ -47,15 +57,19 @@ def route_topk(
     return topk_idx.astype(jnp.int32), topk_w
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _use_pallas_bf16_gmm() -> bool:
     import os
 
     if not os.environ.get("NVT_PALLAS_BF16_GMM"):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return _on_tpu()
 
 
 def _grouped_matmul(xs, w, group_sizes):
