@@ -3,7 +3,7 @@
 TRUE Air widths everywhere — hidden 4096, 96q/8kv x 128 heads, 128 experts
 top-8 + 1 shared at Im=1408 (the KG=11 scale-padding path), attention bias,
 partial rotary 0.5 — with the layer count the 16 GB chip can hold in INT4
-(default 10 = 1 dense + 9 MoE, ~11 GB packed weights + scales; the full
+(default 8 = 1 dense + 7 MoE, ~9 GB packed weights + scales; the full
 Air is 46 layers, BASELINE config 4 spreads it over a v5e-8 host via TP+EP).
 Reports decode tok/s, fresh-prefill tok/s and TTFT, like bench_prod.
 
@@ -31,7 +31,7 @@ def main():
     from glm4_moe_nano_vllm_tpu import LLM, SamplingParams
     from glm4_moe_nano_vllm_tpu.config import ModelConfig, QuantConfig
 
-    layers = int(os.environ.get("AIR_LAYERS", "10"))
+    layers = int(os.environ.get("AIR_LAYERS", "8"))
     mc = ModelConfig(
         architecture="glm4_moe",
         vocab_size=65536,  # true vocab is 151552; reduced to keep the tied
@@ -65,7 +65,7 @@ def main():
         model="",
         model_config=mc,
         max_num_seqs=num_seqs,
-        max_num_batched_tokens=8192,
+        max_num_batched_tokens=4096,
         max_model_len=512,
         kvcache_block_size=bs,
         num_kvcache_blocks=num_seqs * (512 // bs),

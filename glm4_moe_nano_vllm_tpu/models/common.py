@@ -166,16 +166,31 @@ def init_weight(key, shape, dtype, quant=None):
         return init_linear(key, shape, dtype)
     kg = shape[:-2] + (k // g, m)
     ks = jax.random.split(key, 2)
+    def rand_u8(key, shp):
+        # threefry materializes a uint32 counter per ELEMENT — generating a
+        # multi-GB uint8 stack in one call costs 4x the output bytes in
+        # transients and OOMs at Air-slice scale (and a u32→u8 bitcast's
+        # trailing 4-lane dim tile-pads 32x). Chunk over the leading dim so
+        # transients stay at chunk size.
+        import numpy as np
+
+        if int(np.prod(shp)) < (1 << 28) or len(shp) < 2:
+            return jax.random.bits(key, shp, jnp.uint8)
+        return jnp.stack([
+            jax.random.bits(k, shp[1:], jnp.uint8)
+            for k in jax.random.split(key, shp[0])
+        ])
+
     if quant.method == "awq":
         packed = shape[:-2] + (k // 2, m)
         return {
             # row-packed uint8: two uint4 weights per byte (ops/quant.py)
-            "qw": jax.random.randint(ks[0], packed, 0, 256, jnp.int32).astype(jnp.uint8),
+            "qw": rand_u8(ks[0], packed),
             "zp": jnp.full(kg, 8, jnp.uint8),
             "scale": jnp.abs(init_linear(ks[1], kg, jnp.float32, 0.005)) + 1e-4,
         }
     assert quant.method == "int8"
     return {
-        "qw": jax.random.randint(ks[0], shape, -127, 128, jnp.int32).astype(jnp.int8),
+        "qw": rand_u8(ks[0], shape).astype(jnp.int8),
         "scale": jnp.abs(init_linear(ks[1], kg, jnp.float32, 0.0003)) + 1e-5,
     }

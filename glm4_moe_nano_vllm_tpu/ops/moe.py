@@ -84,15 +84,26 @@ def _grouped_matmul(xs, w, group_sizes):
     return jax.lax.ragged_dot(xs, w, group_sizes)
 
 
-def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype):
-    """gate/up → silu·mul → down over expert-contiguous rows."""
-    if isinstance(w_gate, dict) and isinstance(w_up, dict):
-        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_ragged_dot_pair
+def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype,
+                 layer_idx=None):
+    """gate/up → silu·mul → down over expert-contiguous rows.
 
-        g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes)
-    else:
-        g = _grouped_matmul(xs, w_gate, group_sizes)
-        u = _grouped_matmul(xs, w_up, group_sizes)
+    ``layer_idx``: weights are layer-stacked [L, E, ...] and the gmm2
+    kernels select the layer in-kernel (supported for quant dicts only;
+    callers pre-slice other weight kinds)."""
+    if isinstance(w_gate, dict) and isinstance(w_up, dict):
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import (
+            quant_ragged_dot,
+            quant_ragged_dot_pair,
+        )
+
+        g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes,
+                                     layer_idx=layer_idx)
+        h = silu_and_mul(g, u).astype(out_dtype)
+        return quant_ragged_dot(h, w_down, group_sizes, layer_idx=layer_idx)
+    assert layer_idx is None
+    g = _grouped_matmul(xs, w_gate, group_sizes)
+    u = _grouped_matmul(xs, w_up, group_sizes)
     h = silu_and_mul(g, u).astype(out_dtype)
     return _grouped_matmul(h, w_down, group_sizes)  # [rows, H]
 
@@ -458,6 +469,7 @@ def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
     for the per-device volume comparison vs the psum scheme.
     """
     from glm4_moe_nano_vllm_tpu.parallel.a2a import ragged_a2a
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import use_gmm2
 
     n = mesh.shape[axis]
     t, k = topk_idx.shape
@@ -465,6 +477,9 @@ def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
     dp_ax = row_spec[0]
     dp = mesh.shape[dp_ax] if dp_ax else 1
     stacked = layer_idx is not None
+    # gmm2 selects the layer in-kernel from the full [L, E/n, ...] stacks;
+    # other weight kinds are sliced per layer inside the shard_map region
+    gmm_stacked = stacked and isinstance(w_gate, dict) and use_gmm2(w_gate)
 
     # pad T so each (dp, axis) device owns an equal token slice; pad rows
     # carry the invalid-expert sentinel (= e) so they are never dispatched
@@ -482,7 +497,7 @@ def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
         ts = tl // n
         r = jax.lax.axis_index(axis)
         lo = r * e_local
-        if stacked:
+        if stacked and not gmm_stacked:
             wg, wu, wd = (_slice_layer(w, layer_idx) for w in (wg, wu, wd))
 
         # ---- my token slice, sorted owner-major ---------------------------
@@ -533,7 +548,8 @@ def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
         xs_exp = jnp.where(valid[:, None], xs_exp, 0)
 
         # ---- local experts only -------------------------------------------
-        o = _expert_gmms(xs_exp, wg, wu, wd, group_sizes, x.dtype)  # [cap, H]
+        o = _expert_gmms(xs_exp, wg, wu, wd, group_sizes, x.dtype,
+                         layer_idx=layer_idx if gmm_stacked else None)
 
         # ---- back to arrival order, return transfer, combine ---------------
         o_sm = jnp.zeros((cap + 1, h), o.dtype).at[

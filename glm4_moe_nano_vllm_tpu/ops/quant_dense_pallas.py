@@ -62,8 +62,10 @@ def _dense_call(x_p, *wset, interpret: bool = False):
     kg = wset[-1].shape[0]
     kt = k // kg  # K tile == quant group
     # N tile: biggest divisor of N <= 512 keeps the weight block ~<= 0.5 MB
-    # (double-buffered) while amortizing per-step pipeline overhead
-    tn = next(d for d in range(min(n, 512), 0, -1) if n % d == 0)
+    # (double-buffered) while amortizing per-step pipeline overhead; must be
+    # lane-aligned (%128) unless it covers the whole dim (Mosaic block rule)
+    tn = next(d for d in range(min(n, 512), 0, -1)
+              if n % d == 0 and (d % 128 == 0 or d == n))
 
     in_specs = [pl.BlockSpec((b_pad, k), lambda i: (0, 0))]
     for w in wset:

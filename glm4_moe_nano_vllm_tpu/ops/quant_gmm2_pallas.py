@@ -183,7 +183,11 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
     _, e, kw, n = wsets_flat[0].shape
     kg = wsets_flat[n_w - 1].shape[2]
     kt = k // kg
-    tn = next(d for d in range(min(n, _TN), 0, -1) if n % d == 0)
+    # N tile: Mosaic block shapes need the lane dim %128 (or == the whole
+    # dim). GLM-4.5-Air's Im=1408 = 11*128 picks 128 here (352 divides but
+    # is not lane-aligned).
+    tn = next(d for d in range(min(n, _TN), 0, -1)
+              if n % d == 0 and (d % 128 == 0 or d == n))
     tm = _TM
 
     # Mosaic requires BlockSpec dims aligned to the dtype's sublane tiling
@@ -289,27 +293,31 @@ def quant_gmm2_chain(lhs8, wsets: list, layout: GmmLayout, layer_idx=None,
                       interpret=interpret)
 
 
-def quant_gmm2(lhs, qp: dict, group_sizes, interpret: bool = False):
+def quant_gmm2(lhs, qp: dict, group_sizes, layer_idx=None,
+               interpret: bool = False):
     """Grouped quantized matmul over expert-sorted rows (v2 kernel).
 
     Standalone convenience wrapper: pads the sorted lhs into the 8-aligned
     layout and gathers real rows back out. MoE chains should use
     make_layout + scatter_rows + quant_gmm2_chain to skip the copies.
-    """
+    With ``layer_idx``, ``qp`` is layer-stacked [L, E, ...] and the layer is
+    selected in-kernel (no slice copy)."""
     m = lhs.shape[0]
     layout = make_layout(group_sizes, m)
     src = scatter_rows(jnp.arange(m, dtype=jnp.int32), layout)
     lhs8 = jnp.take(lhs, src, axis=0)
-    (out,) = quant_gmm2_chain(lhs8, [qp], layout, interpret=interpret)
+    (out,) = quant_gmm2_chain(lhs8, [qp], layout, layer_idx=layer_idx,
+                              interpret=interpret)
     return jnp.take(out, layout.dst8, axis=0)
 
 
 def quant_gmm2_pair(lhs, qp_a: dict, qp_b: dict, group_sizes,
-                    interpret: bool = False):
+                    layer_idx=None, interpret: bool = False):
     """Two grouped matmuls sharing one pass over the sorted rows."""
     m = lhs.shape[0]
     layout = make_layout(group_sizes, m)
     src = scatter_rows(jnp.arange(m, dtype=jnp.int32), layout)
     lhs8 = jnp.take(lhs, src, axis=0)
-    oa, ob = quant_gmm2_chain(lhs8, [qp_a, qp_b], layout, interpret=interpret)
+    oa, ob = quant_gmm2_chain(lhs8, [qp_a, qp_b], layout,
+                              layer_idx=layer_idx, interpret=interpret)
     return jnp.take(oa, layout.dst8, axis=0), jnp.take(ob, layout.dst8, axis=0)

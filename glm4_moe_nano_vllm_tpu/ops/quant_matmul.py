@@ -176,16 +176,21 @@ def use_gmm2(qp: dict) -> bool:
 
 
 def quant_ragged_dot_pair(
-    xs: jax.Array, qp_a: dict, qp_b: dict, group_sizes: jax.Array
+    xs: jax.Array, qp_a: dict, qp_b: dict, group_sizes: jax.Array,
+    layer_idx=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
-    fused kernel pass shares activation DMAs and instance overhead."""
+    fused kernel pass shares activation DMAs and instance overhead.
+    ``layer_idx``: quant dicts are layer-stacked [L, E, ...], layer selected
+    in-kernel (gmm2 only; other paths receive pre-sliced weights)."""
     if use_gmm2(qp_a):
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
             quant_gmm2_pair,
         )
 
-        return quant_gmm2_pair(xs, qp_a, qp_b, group_sizes)
+        return quant_gmm2_pair(xs, qp_a, qp_b, group_sizes,
+                               layer_idx=layer_idx)
+    assert layer_idx is None, "layer stacks need the gmm2 path"
     if _use_pallas_gmm(int4="zp" in qp_a, dequant_bytes=_dequant_bytes(qp_a)):
         if "zp" in qp_a:
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_pair
@@ -219,17 +224,20 @@ def _dequant_bytes(qp: dict) -> int:
     return int(np.prod(qw.shape)) * k_mult * 2
 
 
-def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array) -> jax.Array:
+def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array,
+                     layer_idx=None) -> jax.Array:
     """Grouped expert matmul with quantized per-expert weights [E, K, M].
 
     On TPU this runs the fused Pallas GMM (weights stay int4-packed / int8
     in HBM); otherwise dequantize + ragged_dot (XLA fuses what it can, but
-    materializes the expert stack — fallback only).
+    materializes the expert stack — fallback only). ``layer_idx``: stacks
+    [L, E, ...], layer selected in-kernel (gmm2 only).
     """
     if use_gmm2(qp):
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import quant_gmm2
 
-        return quant_gmm2(xs, qp, group_sizes)
+        return quant_gmm2(xs, qp, group_sizes, layer_idx=layer_idx)
+    assert layer_idx is None, "layer stacks need the gmm2 path"
     if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=_dequant_bytes(qp)):
         scale = qp["scale"].astype(jnp.float32)
         if "zp" in qp:
