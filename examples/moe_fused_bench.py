@@ -1,13 +1,21 @@
-"""Microbench the fused dense-mode MoE kernel at production shapes.
+"""Microbench the decode-shape MoE expert kernels at production shapes.
 
 Chains REPS data-dependent kernel calls inside one jitted lax.scan (see
 ARCHITECTURE.md "Benchmarking over the axon tunnel") and reports true
 ms/call and effective HBM bandwidth for the expert-weight stream.
 
 Env:
+  MB_MODE=dense|sorted   dense: fully-fused dense-mode kernel (all experts x
+                         all tokens). sorted: the sort-dispatch gmm2 path
+                         (argsort/bincount/scatter included in the timed
+                         body) — at large E x width, dense mode's T*E FLOPs
+                         exceed the weight-stream floor and sorted wins.
+  NVT_GMM2_TM            gmm2 row-chunk tile (decode wants small, e.g. 32)
   NVT_DEBUG_NK1=1        unpack/dot only 1 quant group (DMA-isolated run)
   NVT_INT4_UNPACK_MODE   0|1|2 (see ops/moe_dense_fused_pallas.py)
-  MB_T, MB_E, MB_H, MB_I, MB_L, MB_REPS shape overrides
+  MB_T, MB_E, MB_H, MB_I, MB_L, MB_K, MB_REPS shape overrides
+  MB_REAL_WEIGHTS=1      quantize every expert separately (slow; default
+                         quantizes one expert and tiles — timing-identical)
 Run: PYTHONPATH=/root/repo:/root/.axon_site python examples/moe_fused_bench.py
 """
 
@@ -19,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import moe_dense_fused
+from glm4_moe_nano_vllm_tpu.ops import moe as moe_mod
 from glm4_moe_nano_vllm_tpu.ops import quant
 
 T = int(os.environ.get("MB_T", 64))
@@ -26,7 +35,9 @@ E = int(os.environ.get("MB_E", 64))
 H = int(os.environ.get("MB_H", 2048))
 IM = int(os.environ.get("MB_I", 1024))
 L = int(os.environ.get("MB_L", 2))
+K_TOP = int(os.environ.get("MB_K", 8))
 REPS = int(os.environ.get("MB_REPS", 200))
+MODE = os.environ.get("MB_MODE", "dense")
 G = 128
 
 rng = np.random.default_rng(0)
@@ -34,14 +45,18 @@ rng = np.random.default_rng(0)
 
 def qset(k, n):
     qws, zps, scs = [], [], []
-    for _ in range(L * E):
+    n_unique = L * E if os.environ.get("MB_REAL_WEIGHTS") else 1
+    for _ in range(n_unique):
         w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
         qw, qz, sc = quant.quantize_awq(w, G)
         qw2, zp2, sc2 = quant.repack_awq_for_tpu(qw, qz, sc)
         qws.append(qw2), zps.append(zp2), scs.append(sc2)
 
     def st(a):
-        return jnp.asarray(np.stack(a).reshape(L, E, *a[0].shape))
+        s = np.stack(a)
+        if n_unique == 1:  # tile one expert's arrays (timing-identical)
+            s = np.broadcast_to(s, (L * E, *a[0].shape))
+        return jnp.asarray(np.ascontiguousarray(s.reshape(L, E, *a[0].shape)))
 
     return {"qw": st(qws), "zp": st(zps), "scale": st(scs)}
 
@@ -57,20 +72,34 @@ per_layer_bytes = sum(
 print(f"expert stream per call: {per_layer_bytes/1e6:.0f} MB")
 
 x0 = jnp.asarray(rng.normal(size=(T, H)), jnp.bfloat16)
-sel = rng.permuted(np.tile(np.arange(E), (T, 1)), axis=1)[:, :8]
+sel = rng.permuted(np.tile(np.arange(E), (T, 1)), axis=1)[:, :K_TOP]
 wc_np = np.zeros((T, E), np.float32)
-np.put_along_axis(wc_np, sel, 0.125, axis=1)
+np.put_along_axis(wc_np, sel, 1.0 / K_TOP, axis=1)
 wc = jnp.asarray(wc_np)
 
+if MODE == "sorted":
+    topk_idx = jnp.asarray(sel, jnp.int32)
+    topk_w = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
+    moe_mod.DENSE_MODE_MAX_TOKENS = -1  # force the sort-dispatch gmm2 path
 
-@jax.jit
-def run(x, wg, wu, wd, wc):
-    def body(x, li):
-        o = moe_dense_fused(x, wg, wu, wd, wc, layer_idx=li % L)
-        return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
+    @jax.jit
+    def run(x, wg, wu, wd, wc):
+        def body(x, li):
+            o = moe_mod.moe_experts(x, topk_idx, topk_w, wg, wu, wd,
+                                    layer_idx=li % L)
+            return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
 
-    x, _ = jax.lax.scan(body, x, jnp.arange(REPS, dtype=jnp.int32))
-    return jnp.sum(x.astype(jnp.float32))
+        x, _ = jax.lax.scan(body, x, jnp.arange(REPS, dtype=jnp.int32))
+        return jnp.sum(x.astype(jnp.float32))
+else:
+    @jax.jit
+    def run(x, wg, wu, wd, wc):
+        def body(x, li):
+            o = moe_dense_fused(x, wg, wu, wd, wc, layer_idx=li % L)
+            return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(REPS, dtype=jnp.int32))
+        return jnp.sum(x.astype(jnp.float32))
 
 
 args = (x0, w_gate, w_up, w_down, wc)

@@ -75,6 +75,16 @@ def _make_kernel(n_sets: int, n_w: int, kt: int, nk: int, tm: int, tn: int):
                 osem.at[s, slot],
             )
 
+        # Decode-shape fast path: with one row chunk per expert
+        # (nchunks == 1, the typical decode case — each expert owns only a
+        # few sorted rows), the N-tile instances of the SAME expert would
+        # re-DMA identical lhs rows once per tile. The x scratch persists
+        # across grid instances and the N-tile dim is the minor grid axis,
+        # so every instance after the first reuses x_scr[0] — cutting both
+        # the exposed per-instance DMA latency (E*N_tiles -> E copies per
+        # call) and the lhs HBM re-read.
+        skip_x = jnp.logical_and(nchunks == 1, pl.program_id(1) > 0)
+
         @pl.when(nchunks > 0)
         def _():
             # dequant once per (expert, N-tile); tiles live in VMEM across
@@ -87,7 +97,12 @@ def _make_kernel(n_sets: int, n_w: int, kt: int, nk: int, tm: int, tn: int):
                 )
 
             def process(r, slot):
-                xcopy(r, slot).wait()
+                # the r==0 copy is skipped entirely under skip_x (its start
+                # below is guarded by the same predicate)
+                @pl.when(jnp.logical_not(
+                    jnp.logical_and(skip_x, r == 0)))
+                def _():
+                    xcopy(r, slot).wait()
                 x = x_scr[slot]  # static slot → no slab copy
                 for s in range(n_sets):
                     acc = None
@@ -112,7 +127,9 @@ def _make_kernel(n_sets: int, n_w: int, kt: int, nk: int, tm: int, tn: int):
                     o_scr[s, slot] = acc.astype(o_scr.dtype)
                     ocopy(s, r, slot).start()
 
-            xcopy(0, 0).start()
+            @pl.when(jnp.logical_not(skip_x))
+            def _():
+                xcopy(0, 0).start()
 
             def pair_body(rr, _):
                 r0 = rr * 2
@@ -207,7 +224,7 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
                 ))
         wsets_flat = tuple(padded)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in wsets_flat:
         in_specs.append(
             pl.BlockSpec((1, 1, w.shape[2], tn),
@@ -217,7 +234,7 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
         num_scalar_prefetch=2,
         grid=(e, n // tn),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_sets,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_sets,
         scratch_shapes=[
             pltpu.VMEM((2, tm, k), lhs8.dtype),
             pltpu.VMEM((n_sets, 2, tm, tn), lhs8.dtype),
