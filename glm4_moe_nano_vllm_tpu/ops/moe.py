@@ -117,6 +117,33 @@ def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype,
 # any decode batch this engine schedules.
 DENSE_MODE_MAX_TOKENS = 512
 
+# ... but dense mode's MXU term grows with T*E (every expert streams its
+# weight tiles through the MXU with T rows) while the sorted path's grows
+# with T*K. On v5e the weight-stream floor covers dense compute only up to
+# ~88 rows x E (peak_flops/(4*BW), width-independent); past it dense is
+# MXU-bound. Measured at GLM-4.5-Air widths (E=128, H=4096, Im=1408, INT4):
+# T=128 fused dense 4.13 ms/layer vs sorted gmm2 4.67 (dense's last winning
+# corner, T*E=16K); T=256 dense 7.11 vs sorted 5.54 (T*E=32K, sorted by
+# 1.28x). 7.6B widths (E=64): dense won through T=512 vs the round-1 sorted
+# path. The strict product threshold keeps every measured winner on its
+# side (Air T=256 -> sorted; 7.6B T<=512 -> dense).
+DENSE_MODE_MAX_TE = 32768
+
+
+def dense_mode_ok(t: int, e: int) -> bool:
+    """Static (trace-time) policy: dense all-experts mode vs sorted dispatch."""
+    import os
+
+    te = int(os.environ.get("NVT_DENSE_TE_MAX", DENSE_MODE_MAX_TE))
+    return t <= DENSE_MODE_MAX_TOKENS and (t * e < te or e <= 64)
+
+
+def _num_experts(w) -> int:
+    """E from an expert-weight stack (array or quant dict, with or without a
+    leading [L] layer dim): always the -3rd dim ([..., E, K(/2), N])."""
+    arr = w["qw"] if isinstance(w, dict) else w
+    return arr.shape[-3]
+
 
 def _dense_expert_outputs(x, w_gate, w_up, w_down) -> jax.Array:
     """Every expert applied to every token -> [T, E, H] in f32.
@@ -167,7 +194,9 @@ def can_fuse_dense(num_tokens: int, w_gate) -> bool:
     MoE call (quantized weights, small token count, TPU backend)."""
     import os
 
-    if num_tokens > DENSE_MODE_MAX_TOKENS or not isinstance(w_gate, dict):
+    if not isinstance(w_gate, dict):
+        return False
+    if not dense_mode_ok(num_tokens, _num_experts(w_gate)):
         return False
     if os.environ.get("NVT_NO_FUSED_DENSE_MOE"):
         return False
@@ -214,7 +243,7 @@ def moe_experts(
         assert shared is None, "shared expert fusion needs the fused path"
         # the v2 grouped kernel also selects the layer in-kernel
         stacked = (isinstance(w_gate, dict) and use_gmm2(w_gate)
-                   and x.shape[0] > DENSE_MODE_MAX_TOKENS)
+                   and not dense_mode_ok(x.shape[0], _num_experts(w_gate)))
         if not stacked:
             w_gate = _slice_layer(w_gate, layer_idx)
             w_up = _slice_layer(w_up, layer_idx)
@@ -222,7 +251,7 @@ def moe_experts(
             layer_idx = None
     else:
         assert shared is None
-    if x.shape[0] <= DENSE_MODE_MAX_TOKENS:
+    if dense_mode_ok(x.shape[0], _num_experts(w_gate)):
         if not isinstance(w_gate, dict):
             return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)
         from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
@@ -368,7 +397,7 @@ def moe_experts_ep(
         tk = t * k
         r = jax.lax.axis_index(axis)
         lo = r * e_local
-        if t <= DENSE_MODE_MAX_TOKENS:
+        if dense_mode_ok(t, e_local):
             w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
             if can_fuse_dense(t, wg):

@@ -45,8 +45,12 @@ import os
 
 # row-chunk tile: 256 amortizes chunk DMA latency while bounding the
 # cross-expert overlap waste; N tile 512 bounds the weight block at ~0.5 MB
-# (double-buffered by the pipeline)
-_TM = int(os.environ.get("NVT_GMM2_TM", "256"))
+# (double-buffered by the pipeline). When NVT_GMM2_TM is unset the call
+# adapts tm to the rows-per-expert of the actual shape (decode-sized calls
+# want small chunks: a [256, K] chunk DMA per 8-16-row expert re-reads 16x
+# the rows — measured 11.8 -> 4.7 ms/layer at Air decode widths).
+_TM_ENV = os.environ.get("NVT_GMM2_TM")
+_TM = int(_TM_ENV or "256")
 _TN = int(os.environ.get("NVT_GMM2_TN", "512"))
 
 
@@ -206,6 +210,10 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
     tn = next(d for d in range(min(n, _TN), 0, -1)
               if n % d == 0 and (d % 128 == 0 or d == n))
     tm = _TM
+    if _TM_ENV is None:
+        # adapt the row chunk to the average padded rows per expert
+        avg = max(1, (m_ext - 8 * e - _TM) // max(e, 1))
+        tm = min(_TM, max(16, -(-avg // 8) * 8))
 
     # Mosaic requires BlockSpec dims aligned to the dtype's sublane tiling
     # (u8: 4, f32: 8). zp/scale have KG rows = K/group, which real models
