@@ -126,10 +126,12 @@ def main():
     warm = [
         rng.integers(4, 32000, size=len(p)).tolist() for p in prompts
     ]
+    t_cold = time.perf_counter()
     for _ in range(2):
         llm.generate(warm, [SamplingParams(temperature=0.6, max_tokens=4,
                                            ignore_eos=True)] * num_seqs,
                      use_tqdm=False)
+    cold_start_s = time.perf_counter() - t_cold
 
     # --- measured run 1: FRESH prefill (prompts never seen) + full decode ---
     llm.metrics.reset()
@@ -175,24 +177,142 @@ def main():
         with open(baseline_path, "w") as f:
             json.dump({"value": tput, "ts": time.time()}, f)
 
-    print(json.dumps({
+    result = {
         "metric": "offline_generation_throughput",
         "value": round(tput, 1),
         "unit": "tok/s",
         "vs_baseline": round(tput / baseline, 3),
-        # honesty fields (VERDICT item 8): fresh vs cache-hot, roofline
+        # honesty fields (VERDICT r1 item 8): fresh vs cache-hot, roofline
         "fresh_prefill_tok_s": round(fresh["prefill_tok_per_s"], 1),
         "fresh_ttft_p50_s": round(fresh["ttft_p50_s"], 4),
         "decode_tok_s": round(fresh["decode_tok_per_s"], 1),
         "cached_prefill_tok_s": round(hot["prefill_tok_per_s"], 1),
         "decode_hbm_bw_util": round(hbm_util, 3),
-    }))
+        # cold-start cost (VERDICT r2 item 8): the CUDA-graph-replacement
+        # story end-to-end, plus host-side batch-prep time
+        "warmup_programs": fresh["warmup_programs"],
+        "warmup_time_s": round(fresh["warmup_time_s"], 1),
+        # eager-mode cold start: wall time of the compile-warming generates
+        # (with enforce_eager=False, warmup_* above cover AOT warmup)
+        "cold_start_s": round(cold_start_s, 1),
+        "host_prep_s": round(fresh["host_prep_s"], 2),
+    }
+
+    # --- flagship: true-Air-width INT4 slice (VERDICT r2 item 2) ----------
+    # The toy model above is partly host-bound; the number that matters is
+    # the weight-streaming-bound Air-slice decode. Run it in-process (the
+    # chip allows one process) after freeing the toy model.
+    if os.environ.get("BENCH_AIR", "1") != "0":
+        del llm
+        import gc
+
+        gc.collect()
+        try:
+            result["air_slice_int4"] = bench_air_slice(peak_bw)
+        except Exception as e:  # noqa: BLE001 — keep the toy numbers
+            print(f"# air_slice_int4 failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(result))
     m = {k: round(v, 2) if isinstance(v, float) else v
          for k, v in fresh.items()}
     print(f"# total={total_out} tok, fresh_time={elapsed:.1f}s, "
           f"hot_time={hot_elapsed:.1f}s, param_bytes={param_bytes >> 20}MiB, "
           f"backend={_jax.default_backend()}, fresh_metrics={m}",
           file=sys.stderr)
+
+
+def bench_air_slice(peak_bw: float) -> dict:
+    """True-Air-width INT4 decode bench (8 of 46 layers, every width real:
+    H=4096, 96q/8kv x 128, 128 experts Im=1408 top-8 + shared, KG=11).
+
+    Decode here streams ~1.19 GB of packed expert weights per MoE layer per
+    micro-step — the flagship weight-bound regime (BASELINE config 4's
+    single-chip proxy; the full 46 layers are the v5e-8 TP+EP target)."""
+    import time as _time
+
+    import jax as _jax
+
+    from glm4_moe_nano_vllm_tpu import LLM, SamplingParams
+    from glm4_moe_nano_vllm_tpu.config import ModelConfig, QuantConfig
+
+    layers = int(os.environ.get("BENCH_AIR_LAYERS", "8"))
+    num_seqs = int(os.environ.get("BENCH_AIR_NUM_SEQS", "128"))
+    mc = ModelConfig(
+        architecture="glm4_moe",
+        vocab_size=65536,
+        hidden_size=4096,
+        num_layers=layers,
+        num_heads=96,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=10944,
+        max_position_embeddings=8192,
+        partial_rotary_factor=0.5,
+        use_qk_norm=True,
+        attention_bias=True,
+        tie_word_embeddings=True,
+        eos_token_id=2,
+        n_routed_experts=128,
+        num_experts_per_tok=8,
+        moe_intermediate_size=1408,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        routed_scaling_factor=2.5,
+        quant=QuantConfig(method="awq", bits=4, group_size=128,
+                          quantize_lm_head=True),
+    )
+    llm = LLM(
+        model="",
+        model_config=mc,
+        max_num_seqs=num_seqs,
+        max_num_batched_tokens=4096,
+        max_model_len=512,
+        kvcache_block_size=32,
+        num_kvcache_blocks=num_seqs * 16,
+        prefill_chunk_size=512,
+        enforce_eager=True,
+        decode_buckets=(num_seqs,),
+        prefill_seq_buckets=(16, num_seqs),
+        prefill_len_buckets=(32, 64, 128),
+        dtype="bfloat16",
+        kv_cache_dtype="bfloat16",
+        num_scheduler_steps=32,
+    )
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(4, 60000, size=int(rng.integers(32, 128))).tolist()
+               for _ in range(num_seqs)]
+    sp = [SamplingParams(temperature=0.6,
+                         max_tokens=int(rng.integers(48, 96)),
+                         ignore_eos=True) for _ in range(num_seqs)]
+    warm = [rng.integers(4, 60000, size=len(p)).tolist() for p in prompts]
+    llm.generate(warm, [SamplingParams(temperature=0.6, max_tokens=4,
+                                       ignore_eos=True)] * num_seqs,
+                 use_tqdm=False)
+
+    llm.metrics.reset()
+    t0 = _time.perf_counter()
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    elapsed = _time.perf_counter() - t0
+    m = llm.metrics.summary()
+    total = sum(len(o["token_ids"]) for o in outs)
+
+    pbytes = sum(x.nbytes for x in _jax.tree.leaves(llm.model_runner.params))
+    window = llm.config.num_scheduler_steps
+    micro_steps = m["num_decode_steps"] * window
+    decode_time = max(m["decode_tokens"] / max(m["decode_tok_per_s"], 1e-9),
+                      1e-9)
+    hbm_util = pbytes * micro_steps / decode_time / peak_bw
+    del llm
+    return {
+        "config": f"glm45-air-slice {layers}L INT4 "
+                  f"(H4096 96q8kv E128 Im1408 top8), batch {num_seqs}",
+        "param_bytes_mib": pbytes >> 20,
+        "total_tok_s": round(total / elapsed, 1),
+        "decode_tok_s": round(m["decode_tok_per_s"], 1),
+        "fresh_prefill_tok_s": round(m["prefill_tok_per_s"], 1),
+        "ttft_p50_s": round(m["ttft_p50_s"], 3),
+        "decode_hbm_bw_util": round(hbm_util, 3),
+    }
 
 
 if __name__ == "__main__":

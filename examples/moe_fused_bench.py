@@ -77,7 +77,24 @@ wc_np = np.zeros((T, E), np.float32)
 np.put_along_axis(wc_np, sel, 1.0 / K_TOP, axis=1)
 wc = jnp.asarray(wc_np)
 
-if MODE == "sorted":
+if MODE == "sfused":
+    from glm4_moe_nano_vllm_tpu.ops.moe_sorted_fused_pallas import (
+        moe_sorted_fused,
+    )
+
+    topk_idx = jnp.asarray(sel, jnp.int32)
+    topk_w = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
+
+    @jax.jit
+    def run(x, wg, wu, wd, wc):
+        def body(x, li):
+            o = moe_sorted_fused(x, topk_idx, topk_w, wg, wu, wd,
+                                 layer_idx=li % L)
+            return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(REPS, dtype=jnp.int32))
+        return jnp.sum(x.astype(jnp.float32))
+elif MODE == "sorted":
     topk_idx = jnp.asarray(sel, jnp.int32)
     topk_w = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
     moe_mod.DENSE_MODE_MAX_TOKENS = -1  # force the sort-dispatch gmm2 path

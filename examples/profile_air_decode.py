@@ -1,0 +1,131 @@
+"""Profile the Air-slice decode micro-step on-chip and dump the HLO-level
+time breakdown (where the non-MoE ~20 ms of a 38 ms micro-step goes).
+
+Builds the same true-Air-width INT4 slice as bench_air_slice, drives real
+prefill+decode through the engine, then traces a few decode windows with
+jax.profiler and converts the xplane to per-op stats via xprof.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python examples/profile_air_decode.py
+Env: AIR_LAYERS (default 8), AIR_NUM_SEQS (128), PROF_DIR (/tmp/air_prof)
+"""
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from glm4_moe_nano_vllm_tpu.config import Config, ModelConfig, QuantConfig
+    from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+    from glm4_moe_nano_vllm_tpu.engine.scheduler import Scheduler
+    from glm4_moe_nano_vllm_tpu.engine.sequence import Sequence
+    from glm4_moe_nano_vllm_tpu.sampling_params import SamplingParams
+
+    layers = int(os.environ.get("AIR_LAYERS", "8"))
+    num_seqs = int(os.environ.get("AIR_NUM_SEQS", "128"))
+    mc = ModelConfig(
+        architecture="glm4_moe",
+        vocab_size=65536,
+        hidden_size=4096,
+        num_layers=layers,
+        num_heads=96,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=10944,
+        max_position_embeddings=8192,
+        partial_rotary_factor=0.5,
+        use_qk_norm=True,
+        attention_bias=True,
+        tie_word_embeddings=True,
+        eos_token_id=2,
+        n_routed_experts=128,
+        num_experts_per_tok=8,
+        moe_intermediate_size=1408,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        routed_scaling_factor=2.5,
+        quant=QuantConfig(method="awq", bits=4, group_size=128,
+                          quantize_lm_head=True),
+    )
+    cfg = Config(
+        model="", model_config=mc, max_num_seqs=num_seqs,
+        max_num_batched_tokens=4096, max_model_len=512,
+        kvcache_block_size=int(os.environ.get("AIR_BS", "32")),
+        num_kvcache_blocks=num_seqs * 16,
+        prefill_chunk_size=512, enforce_eager=True,
+        decode_buckets=(num_seqs,), prefill_seq_buckets=(16, num_seqs),
+        prefill_len_buckets=(32, 64, 128),
+        dtype="bfloat16",
+        kv_cache_dtype=os.environ.get("AIR_KV", "bfloat16"),
+        num_scheduler_steps=32,
+    )
+    t0 = time.perf_counter()
+    runner = ModelRunner(cfg)
+    sched = Scheduler(cfg)
+    print(f"# runner ready {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(temperature=0.6, max_tokens=256, ignore_eos=True)
+    for _ in range(num_seqs):
+        sched.add(Sequence(
+            rng.integers(4, 60000, size=int(rng.integers(48, 128))).tolist(),
+            sp, block_size=cfg.kvcache_block_size))
+
+    # prefill + a few decode windows (compiles happen here)
+    steps = 0
+    while not sched.is_finished() and steps < 8:
+        batch = sched.schedule()
+        sched.postprocess(batch, runner.run(batch))
+        steps += 1
+    print(f"# warm at {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+    prof_dir = os.environ.get("PROF_DIR", "/tmp/air_prof")
+    jax.profiler.start_trace(prof_dir)
+    t1 = time.perf_counter()
+    decoded = 0
+    for _ in range(3):
+        batch = sched.schedule()
+        assert not batch.is_prefill
+        sched.postprocess(batch, runner.run(batch))
+        decoded += batch.num_tokens
+    dt = time.perf_counter() - t1
+    jax.profiler.stop_trace()
+    print(f"# traced 3 decode windows: {decoded} tok in {dt:.3f}s -> "
+          f"{decoded/dt:.0f} tok/s", file=sys.stderr)
+
+    # ---- parse the xplane: top ops by self time --------------------------
+    paths = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {prof_dir}"
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+
+    data, _ = r2t.xspace_to_tool_data([max(paths, key=os.path.getmtime)],
+                                      "framework_op_stats^", {})
+    import csv
+    import io
+
+    rows = list(csv.DictReader(io.StringIO(
+        data.decode() if isinstance(data, bytes) else data)))
+    rows = [r for r in rows if r.get("host_or_device") == "Device"]
+    rows.sort(key=lambda r: -float(r.get("total_self_time_us") or
+                                   r.get("self_time_us") or 0))
+    total = sum(float(r.get("total_self_time_us") or 0) for r in rows)
+    print(f"device self-time total: {total/1e3:.1f} ms over trace")
+    for r in rows[:40]:
+        t_us = float(r.get("total_self_time_us") or 0)
+        print(f"{t_us/1e3:9.2f} ms  {100*t_us/max(total,1e-9):5.1f}%  "
+              f"{r.get('op_type','?'):<24.24} {r.get('op_name','?')[:90]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,12 +27,20 @@ class EngineMetrics:
     num_preemptions: int = 0
     # XLA programs compiled while serving (i.e. shapes warmup missed)
     jit_serve_compiles: int = 0
+    # host time spent building batch arrays (ModelRunner.prepare)
+    host_prep_s: float = 0.0
+    # warmup cost (ModelRunner.warmup): programs AOT-compiled + seconds
+    warmup_programs: int = 0
+    warmup_time_s: float = 0.0
 
     def reset(self) -> None:
-        """Zero all counters (e.g. after a compile-heavy warmup run)."""
+        """Zero all counters (e.g. after a compile-heavy warmup run).
+        Warmup cost fields survive (they describe engine init, not a run)."""
         arrivals = self._arrival
+        wp, wt = self.warmup_programs, self.warmup_time_s
         self.__init__()
         self._arrival = arrivals
+        self.warmup_programs, self.warmup_time_s = wp, wt
 
     def on_request(self, seq_id: int) -> None:
         self._arrival[seq_id] = time.perf_counter()
@@ -80,6 +88,9 @@ class EngineMetrics:
             "e2e_p50_s": self._pct(self.e2e_s, 0.5),
             "num_preemptions": self.num_preemptions,
             "jit_serve_compiles": self.jit_serve_compiles,
+            "host_prep_s": self.host_prep_s,
+            "warmup_programs": self.warmup_programs,
+            "warmup_time_s": self.warmup_time_s,
         }
 
 

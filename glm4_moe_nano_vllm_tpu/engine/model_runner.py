@@ -77,6 +77,7 @@ class ModelRunner:
             self.params = load_params(self.model, config.model, mesh=mesh)
         else:
             self.params = self.model.init_params(jax.random.PRNGKey(0))
+        self._pad_expert_scale_rows()
         logger.info("params ready in %.1fs", time.perf_counter() - t0)
 
         self.num_blocks = self._compute_num_blocks()
@@ -111,10 +112,6 @@ class ModelRunner:
             pp_stack = None
             pp_cache_keys = ()
             if pp > 1:
-                assert self.kv_dtype != jnp.float8_e4m3fn, (
-                    "fp8 KV cache is not supported with pipeline parallelism "
-                    "yet (the pipeline stage fn handles plain cache arrays)"
-                )
                 assert self.model.pipeline_stack_size % pp == 0, (
                     self.model.pipeline_stack_size, pp,
                 )
@@ -162,6 +159,32 @@ class ModelRunner:
         # serve-time XLA compile (reported via EngineMetrics)
         self._compiled: set = set()
         self.metrics = None  # optionally set by the engine
+
+    def _pad_expert_scale_rows(self):
+        """Pad INT4 expert zp/scale KG rows to the sublane tiling ONCE.
+
+        The MoE Pallas kernels need 8-aligned KG blocks; padding at trace
+        time re-executes per scanned layer per micro-step (measured
+        5.8 ms/step at Air widths — the f32 scale stack is 117 MB). The
+        kernels receive the true group via ``quant_group`` (the model
+        passes cfg.quant.group_size), so padded rows are never read."""
+        mc = self.config.model_config
+        ml = self.params.get("moe_layers") if isinstance(self.params, dict) \
+            else None
+        if not (mc.is_moe and mc.quant is not None and ml):
+            return
+        for key in ("expert_gate", "expert_up", "expert_down"):
+            d = ml.get(key)
+            if not (isinstance(d, dict) and "zp" in d):
+                continue  # int4 only; int8 v1 kernels expect unpadded rows
+            for leaf in ("zp", "scale"):
+                arr = d[leaf]
+                kg = arr.shape[-2]
+                if kg % 8 == 0:
+                    continue
+                pad = [(0, 0)] * arr.ndim
+                pad[-2] = (0, -(-kg // 8) * 8 - kg)
+                d[leaf] = jnp.pad(arr, pad)
 
     # ---- device programs ---------------------------------------------------
 
@@ -285,24 +308,38 @@ class ModelRunner:
 
         token_ids = np.zeros((b, s), np.int32)
         positions = np.zeros((b, s), np.int32)
-        slot_mapping = np.full((b, s), -1, np.int32)
         block_tables = np.zeros((b, mb), np.int32)
         context_lens = np.zeros((b,), np.int32)
         last_q_idx = np.zeros((b,), np.int32)
         temperatures = np.zeros((b,), np.float32)
 
+        # only the ragged per-seq data (token slices, block tables) needs a
+        # Python loop; everything else is batched numpy below (a 256-seq
+        # prefill step used to spend O(B) fancy-indexing ops here)
         for i, (seq, q, start) in enumerate(zip(seqs, q_lens, starts)):
             token_ids[i, :q] = seq.token_ids[start:start + q]
-            pos = np.arange(start, start + q, dtype=np.int32)
-            positions[i, :q] = pos
-            bt = np.asarray(seq.block_table, np.int32)
-            slot_mapping[i, :q] = bt[pos // self.block_size] * self.block_size + pos % self.block_size
+            bt = seq.block_table
             # bt may cover the whole prompt while this chunk's context doesn't
             n_bt = min(len(bt), mb)
             block_tables[i, :n_bt] = bt[:n_bt]
-            context_lens[i] = start + q
-            last_q_idx[i] = q - 1
-            temperatures[i] = seq.temperature
+
+        nr = len(seqs)
+        starts_np = np.asarray(starts, np.int32)
+        q_np = np.asarray(q_lens, np.int32)
+        ar = np.arange(s, dtype=np.int32)[None, :]
+        valid = ar < q_np[:, None]
+        pos = np.where(valid, starts_np[:, None] + ar, 0)
+        positions[:nr] = pos
+        bs_ = self.block_size
+        slots = (np.take_along_axis(block_tables[:nr], pos // bs_, axis=1)
+                 * bs_ + pos % bs_)
+        slot_mapping = np.full((b, s), -1, np.int32)
+        slot_mapping[:nr] = np.where(valid, slots, -1)
+        context_lens[:nr] = starts_np + q_np
+        last_q_idx[:nr] = q_np - 1
+        temperatures[:nr] = np.fromiter(
+            (seq.temperature for seq in seqs), np.float32, count=nr
+        )
 
         info = BatchInfo(
             token_ids=jnp.asarray(token_ids),
@@ -322,7 +359,10 @@ class ModelRunner:
     def run(self, batch: ScheduledBatch):
         """Prefill: returns [B] sampled token ids. Decode: returns a per-seq
         list of ``batch.num_steps`` token ids."""
+        t_prep = time.perf_counter()
         info = self.prepare(batch)
+        if self.metrics is not None:
+            self.metrics.host_prep_s += time.perf_counter() - t_prep
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         n = len(batch.seqs)
@@ -426,5 +466,9 @@ class ModelRunner:
 
         if tokens is not None:
             tokens.block_until_ready()
+        dt = time.perf_counter() - t0
+        if self.metrics is not None:  # cold-start cost, auditable in bench
+            self.metrics.warmup_programs = len(self._compiled)
+            self.metrics.warmup_time_s = dt
         logger.info("warmup compiled %d programs in %.1fs",
-                    len(self._compiled), time.perf_counter() - t0)
+                    len(self._compiled), dt)

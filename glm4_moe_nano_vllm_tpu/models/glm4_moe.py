@@ -186,6 +186,7 @@ class Glm4MoeForCausalLM:
                 cfg.num_experts_per_tok, cfg.routed_scaling_factor,
                 cfg.norm_topk_prob,
             )
+            qg = cfg.quant.group_size if cfg.quant is not None else None
             if self.moe_ep:
                 # expert stacks stay OUT of the scan xs here too (sliced xs
                 # feeding pallas_call materialize per-layer copies); the
@@ -195,11 +196,13 @@ class Glm4MoeForCausalLM:
                     flat, topk_idx, topk_w,
                     fe["expert_gate"], fe["expert_up"], fe["expert_down"],
                     self.mesh, layer_idx=li, dispatch=self.ep_dispatch,
+                    quant_group=qg,
                 )
             elif "expert_gate" in lp:  # pp stage stacks travel as scan xs
                 routed = moe_experts(
                     flat, topk_idx, topk_w,
                     lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+                    quant_group=qg,
                 )
             else:
                 # expert stacks stay OUT of the scan xs: sliced xs feeding a
@@ -213,7 +216,7 @@ class Glm4MoeForCausalLM:
                 routed = moe_experts(
                     flat, topk_idx, topk_w,
                     fe["expert_gate"], fe["expert_up"], fe["expert_down"],
-                    layer_idx=li, shared=shared_args,
+                    layer_idx=li, shared=shared_args, quant_group=qg,
                 )
                 if shared_args is not None:
                     x = x + routed.reshape(b, s, h)
@@ -237,7 +240,9 @@ class Glm4MoeForCausalLM:
             from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
 
             def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
-                n_local = kc_local.shape[1] // nb  # layers in this stage
+                kd = (kc_local["data"] if isinstance(kc_local, dict)
+                      else kc_local)  # fp8 caches are {data, scale}
+                n_local = kd.shape[1] // nb  # layers in this stage
                 (x_out, kc, vc), _ = jax.lax.scan(
                     lambda c, xs: moe_body(c, xs, batch_mb),
                     (x_mb, kc_local, vc_local),

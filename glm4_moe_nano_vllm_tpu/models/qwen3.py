@@ -124,7 +124,9 @@ class Qwen3ForCausalLM:
             from glm4_moe_nano_vllm_tpu.parallel.pipeline import pipeline_forward
 
             def stage_fn(x_mb, lp_local, kc_local, vc_local, batch_mb):
-                n_local = kc_local.shape[1] // nb  # layers in this stage
+                kd = (kc_local["data"] if isinstance(kc_local, dict)
+                      else kc_local)  # fp8 caches are {data, scale}
+                n_local = kd.shape[1] // nb  # layers in this stage
                 (x_out, kc, vc), _ = jax.lax.scan(
                     lambda c, xs: body(c, xs, batch_mb),
                     (x_mb, kc_local, vc_local),

@@ -18,6 +18,8 @@ shaped, and the same layout a Pallas/Megablox GMM kernel drops into later.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -85,7 +87,7 @@ def _grouped_matmul(xs, w, group_sizes):
 
 
 def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype,
-                 layer_idx=None):
+                 layer_idx=None, quant_group=None):
     """gate/up → silu·mul → down over expert-contiguous rows.
 
     ``layer_idx``: weights are layer-stacked [L, E, ...] and the gmm2
@@ -98,9 +100,11 @@ def _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, out_dtype,
         )
 
         g, u = quant_ragged_dot_pair(xs, w_gate, w_up, group_sizes,
-                                     layer_idx=layer_idx)
+                                     layer_idx=layer_idx,
+                                     quant_group=quant_group)
         h = silu_and_mul(g, u).astype(out_dtype)
-        return quant_ragged_dot(h, w_down, group_sizes, layer_idx=layer_idx)
+        return quant_ragged_dot(h, w_down, group_sizes, layer_idx=layer_idx,
+                                quant_group=quant_group)
     assert layer_idx is None
     g = _grouped_matmul(xs, w_gate, group_sizes)
     u = _grouped_matmul(xs, w_up, group_sizes)
@@ -198,9 +202,43 @@ def can_fuse_dense(num_tokens: int, w_gate) -> bool:
         return False
     if not dense_mode_ok(num_tokens, _num_experts(w_gate)):
         return False
+    if use_sorted_fused(num_tokens, w_gate):  # sfused outranks dense
+        return False
     if os.environ.get("NVT_NO_FUSED_DENSE_MOE"):
         return False
     if _fused_interpret():  # CPU tests drive the kernel in interpret mode
+        return True
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
+
+    return _use_pallas_gmm(int4="zp" in w_gate)
+
+
+# Above this T*E product the fused sorted-dispatch kernel
+# (ops/moe_sorted_fused_pallas.py) replaces dense mode: dense streams every
+# expert's weight tiles through the MXU with T rows (~567 GFLOP of mostly
+# discarded compute at Air T=128/E=128, measured 4.13 ms/layer vs a 2.09 ms
+# DMA floor) while the sorted kernel's MXU term grows with T*K only
+# (measured 2.46 ms/layer at the same shape). Dense keeps the small-T*E
+# corner where dispatch overhead dominates.
+SORTED_FUSED_TE_MIN = 12288
+
+
+def use_sorted_fused(num_tokens: int, w_gate) -> bool:
+    """True when the fused sorted-dispatch kernel serves this MoE call:
+    quantized weights, decode-scale token count, large T*E, TPU backend."""
+    import os
+
+    if not isinstance(w_gate, dict):
+        return False
+    if os.environ.get("NVT_NO_SFUSED_MOE"):
+        return False
+    e = _num_experts(w_gate)
+    te_min = int(os.environ.get("NVT_SFUSED_TE_MIN", SORTED_FUSED_TE_MIN))
+    if num_tokens > DENSE_MODE_MAX_TOKENS or num_tokens * e < te_min:
+        return False
+    if e <= 64:  # dense measured faster through T=512 at 7.6B widths
+        return False
+    if _fused_interpret():
         return True
     from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
 
@@ -216,6 +254,7 @@ def moe_experts(
     w_down,  # [E, I, H]
     layer_idx=None,  # traced int32: stacks are layer-stacked [L, E, ...]
     shared=None,  # optional (gate, up, down) shared-expert weights, fused in
+    quant_group=None,  # static group size (pre-padded zp/scale rows)
 ) -> jax.Array:
     """With ``layer_idx``, weight stacks keep their layer dim and the fused
     kernel selects the layer inside its BlockSpec index maps — XLA cannot
@@ -239,8 +278,18 @@ def moe_experts(
             e = w_gate["qw"].shape[1]
             w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
             return moe_dense_fused(x, w_gate, w_up, w_down, w_dense,
-                                   layer_idx=layer_idx, shared=shared)
+                                   layer_idx=layer_idx, shared=shared,
+                                   quant_group=quant_group)
         assert shared is None, "shared expert fusion needs the fused path"
+        if use_sorted_fused(x.shape[0], w_gate):
+            from glm4_moe_nano_vllm_tpu.ops.moe_sorted_fused_pallas import (
+                moe_sorted_fused,
+            )
+
+            return moe_sorted_fused(x, topk_idx, topk_w, w_gate, w_up,
+                                    w_down, layer_idx=layer_idx,
+                                    quant_group=quant_group,
+                                    interpret=bool(_fused_interpret()))
         # the v2 grouped kernel also selects the layer in-kernel
         stacked = (isinstance(w_gate, dict) and use_gmm2(w_gate)
                    and not dense_mode_ok(x.shape[0], _num_experts(w_gate)))
@@ -251,6 +300,16 @@ def moe_experts(
             layer_idx = None
     else:
         assert shared is None
+    if (layer_idx is None and not stacked
+            and isinstance(w_gate, dict)
+            and use_sorted_fused(x.shape[0], w_gate)):
+        from glm4_moe_nano_vllm_tpu.ops.moe_sorted_fused_pallas import (
+            moe_sorted_fused,
+        )
+
+        return moe_sorted_fused(x, topk_idx, topk_w, w_gate, w_up, w_down,
+                                quant_group=quant_group,
+                                interpret=bool(_fused_interpret()))
     if dense_mode_ok(x.shape[0], _num_experts(w_gate)):
         if not isinstance(w_gate, dict):
             return moe_experts_dense(x, topk_idx, topk_w, w_gate, w_up, w_down)
@@ -269,7 +328,8 @@ def moe_experts(
                 )
 
                 w_dense = _dense_weights(topk_idx, topk_w, x.shape[0], e)
-                return moe_dense_fused(x, w_gate, w_up, w_down, w_dense)
+                return moe_dense_fused(x, w_gate, w_up, w_down, w_dense,
+                                       quant_group=quant_group)
             # broadcast-lhs GMM: weights stay packed, zero dispatch movement
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
                 quant_moe_experts_dense,
@@ -316,16 +376,19 @@ def moe_experts(
         li = layer_idx if stacked else None
         layout = make_layout(group_sizes, tk)
         xs8 = jnp.take(x, scatter_rows(tok_i, layout), axis=0)
-        g8, u8 = quant_gmm2_chain(xs8, [w_gate, w_up], layout, layer_idx=li)
+        g8, u8 = quant_gmm2_chain(xs8, [w_gate, w_up], layout, layer_idx=li,
+                                  quant_group=quant_group)
         h8 = silu_and_mul(g8, u8).astype(x.dtype)
-        (o8,) = quant_gmm2_chain(h8, [w_down], layout, layer_idx=li)
+        (o8,) = quant_gmm2_chain(h8, [w_down], layout, layer_idx=li,
+                                 quant_group=quant_group)
         o_tk = jnp.take(o8, jnp.take(layout.dst8, inv), axis=0)
         # weights applied post-gather, so they index in unsorted order
         o_tk = o_tk.astype(jnp.float32) * topk_w.reshape(-1)[:, None]
         return jnp.sum(o_tk.reshape(t, k, -1), axis=1).astype(x.dtype)
 
     xs = jnp.take(x, tok_i, axis=0)  # [T*K, H] expert-contiguous
-    o = _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, x.dtype)
+    o = _expert_gmms(xs, w_gate, w_up, w_down, group_sizes, x.dtype,
+                     quant_group=quant_group)
     w_flat = jnp.take(topk_w.reshape(-1), sort_i)  # [T*K]
     o = (o.astype(jnp.float32) * w_flat[:, None]).astype(x.dtype)
     o_tk = jnp.take(o, inv, axis=0).reshape(t, k, -1)
@@ -343,6 +406,7 @@ def moe_experts_ep(
     axis: str = "tp",
     layer_idx=None,  # traced int32: stacks keep their [L, ...] layer dim
     dispatch: str = "auto",  # "auto" | "a2a" | "psum" (large-T path choice)
+    quant_group=None,  # static group size (pre-padded zp/scale rows)
 ) -> jax.Array:
     """Expert-parallel MoE: experts sharded on the E dim over ``axis``.
 
@@ -390,7 +454,7 @@ def moe_experts_ep(
     # volume-optimal for replicated activations.
     if dispatch == "a2a" or (t > DENSE_MODE_MAX_TOKENS and dispatch == "auto"):
         return _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
-                       e, e_local, layer_idx, row_spec, w_spec)
+                       e, e_local, layer_idx, row_spec, w_spec, quant_group)
 
     def local_moe(x, topk_idx, topk_w, wg, wu, wd):
         t = x.shape[0]
@@ -410,6 +474,7 @@ def moe_experts_ep(
                 part = moe_dense_fused(
                     x, wg, wu, wd, w_local,
                     layer_idx=layer_idx if stacked else None,
+                    quant_group=quant_group,
                     interpret=bool(_fused_interpret()),
                 )
                 return jax.lax.psum(part, axis)
@@ -443,7 +508,8 @@ def moe_experts_ep(
         xs = jnp.take(x, tok_r, axis=0)
         xs = jnp.where(valid[:, None], xs, 0)
 
-        o = _expert_gmms(xs, wg, wu, wd, local_sizes, x.dtype)
+        o = _expert_gmms(xs, wg, wu, wd, local_sizes, x.dtype,
+                         quant_group=quant_group)
         # rows outside the local span were never written by the grouped
         # matmul — select (not multiply) so garbage/NaN can't leak through
         o = jnp.where(valid[:, None], o.astype(jnp.float32), 0.0)
@@ -477,7 +543,7 @@ def _fused_interpret() -> bool:
 
 
 def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
-            e, e_local, layer_idx, row_spec, w_spec):
+            e, e_local, layer_idx, row_spec, w_spec, quant_group=None):
     """All-to-all expert dispatch/combine (large-T / prefill EP path).
 
     Per device over ``axis`` (n devices): take a 1/n slice of the local
@@ -539,55 +605,96 @@ def _ep_a2a(x, topk_idx, topk_w, w_gate, w_up, w_down, mesh, axis,
         tok_i = sort_i // k
         xs_send = jnp.take(x_s, tok_i, axis=0)  # [a, H] owner-major
         counts_e = jnp.bincount(flat_e, length=e).astype(jnp.int32)  # [e]
-        send_sizes = counts_e.reshape(n, e_local).sum(axis=1)  # [n]
+        ecs = jnp.concatenate(  # [e+1] exclusive cumsum of expert spans
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts_e, dtype=jnp.int32)]
+        )
 
-        # ---- count exchange + dispatch ------------------------------------
-        cm = jax.lax.all_gather(send_sizes, axis)  # [n, n]: cm[i, j] = i→j
-        ce = jax.lax.all_gather(counts_e, axis)  # [n, e]
-        in_offs = jnp.cumsum(send_sizes) - send_sizes
-        out_offs = (jnp.cumsum(cm, axis=0) - cm)[r]  # my landing offset at j
-        recv_sizes = cm[:, r]
-        cap = tl * k  # worst case: every assignment targets my experts
-        recv = ragged_a2a(xs_send, jnp.zeros((cap, h), x.dtype),
-                          in_offs, send_sizes, out_offs, recv_sizes, axis)
+        def dispatch_window(xw, ce_win, ss):
+            """Dispatch/compute/return for ``ss`` sorted send rows whose
+            per-expert counts are ``ce_win`` [e]. Receive buffer is bounded
+            at n*ss rows regardless of routing skew — each peer sends at
+            most its whole window."""
+            send_sizes = ce_win.reshape(n, e_local).sum(axis=1)  # [n]
+            cm = jax.lax.all_gather(send_sizes, axis)  # [n, n]: cm[i,j]=i→j
+            ce_all = jax.lax.all_gather(ce_win, axis)  # [n, e]
+            in_offs = jnp.cumsum(send_sizes) - send_sizes
+            out_offs = (jnp.cumsum(cm, axis=0) - cm)[r]  # my landing at j
+            recv_sizes = cm[:, r]
+            cap = n * ss
+            recv = ragged_a2a(xw, jnp.zeros((cap, h), xw.dtype),
+                              in_offs, send_sizes, out_offs, recv_sizes,
+                              axis)
 
-        # ---- arrivals (sender-major, expert-minor) → expert-major ---------
-        ce_l = jax.lax.dynamic_slice(ce, (0, lo), (n, e_local))
-        group_sizes = ce_l.sum(axis=0).astype(jnp.int32)  # [e_local]
-        recv_start = jnp.cumsum(recv_sizes) - recv_sizes  # [n]
-        gs_start = jnp.cumsum(group_sizes) - group_sizes  # [e_local]
-        ccol = jnp.cumsum(ce_l, axis=0) - ce_l  # rows before sender i in exp j
-        crow = jnp.cumsum(ce_l, axis=1) - ce_l  # sender i's rows before exp j
-        m = jnp.arange(cap, dtype=jnp.int32)
-        j = jnp.clip(
-            jnp.searchsorted(jnp.cumsum(group_sizes), m, side="right"),
-            0, e_local - 1,
-        ).astype(jnp.int32)
-        tpos = m - jnp.take(gs_start, j)  # rank within expert j
-        ccol_j = jnp.take(ce_l.T, j, axis=0)  # [cap, n] sizes per sender
-        off_j = jnp.take(ccol.T, j, axis=0)  # [cap, n] col-cumsum per sender
-        in_win = (tpos[:, None] >= off_j) & (tpos[:, None] < off_j + ccol_j)
-        i = jnp.argmax(in_win, axis=1).astype(jnp.int32)
-        valid = jnp.any(in_win, axis=1)
-        rows_m = jnp.arange(cap)
-        src = (jnp.take(recv_start, i) + crow[i, j]
-               + (tpos - off_j[rows_m, i]))
-        src = jnp.where(valid, src, cap - 1)
-        xs_exp = jnp.take(recv, src, axis=0)
-        xs_exp = jnp.where(valid[:, None], xs_exp, 0)
+            # ---- arrivals (sender-major, expert-minor) → expert-major ----
+            ce_l = jax.lax.dynamic_slice(ce_all, (0, lo), (n, e_local))
+            group_sizes = ce_l.sum(axis=0).astype(jnp.int32)  # [e_local]
+            recv_start = jnp.cumsum(recv_sizes) - recv_sizes  # [n]
+            gs_start = jnp.cumsum(group_sizes) - group_sizes  # [e_local]
+            ccol = jnp.cumsum(ce_l, axis=0) - ce_l  # before sender i, exp j
+            crow = jnp.cumsum(ce_l, axis=1) - ce_l  # sender i before exp j
+            m = jnp.arange(cap, dtype=jnp.int32)
+            j = jnp.clip(
+                jnp.searchsorted(jnp.cumsum(group_sizes), m, side="right"),
+                0, e_local - 1,
+            ).astype(jnp.int32)
+            tpos = m - jnp.take(gs_start, j)  # rank within expert j
+            ccol_j = jnp.take(ce_l.T, j, axis=0)  # [cap, n] per-sender size
+            off_j = jnp.take(ccol.T, j, axis=0)  # [cap, n] col-cumsum
+            in_win = (tpos[:, None] >= off_j) & (tpos[:, None] < off_j + ccol_j)
+            i = jnp.argmax(in_win, axis=1).astype(jnp.int32)
+            valid = jnp.any(in_win, axis=1)
+            rows_m = jnp.arange(cap)
+            src = (jnp.take(recv_start, i) + crow[i, j]
+                   + (tpos - off_j[rows_m, i]))
+            src = jnp.where(valid, src, cap - 1)
+            xs_exp = jnp.take(recv, src, axis=0)
+            xs_exp = jnp.where(valid[:, None], xs_exp, 0)
 
-        # ---- local experts only -------------------------------------------
-        o = _expert_gmms(xs_exp, wg, wu, wd, group_sizes, x.dtype,
-                         layer_idx=layer_idx if gmm_stacked else None)
+            # ---- local experts only --------------------------------------
+            o = _expert_gmms(xs_exp, wg, wu, wd, group_sizes, xw.dtype,
+                             layer_idx=layer_idx if gmm_stacked else None,
+                             quant_group=quant_group)
 
-        # ---- back to arrival order, return transfer, combine ---------------
-        o_sm = jnp.zeros((cap + 1, h), o.dtype).at[
-            jnp.where(valid, src, cap)
-        ].set(o)[:cap]
-        back_out_offs = (jnp.cumsum(cm, axis=1) - cm)[:, r]
-        o_back = ragged_a2a(o_sm, jnp.zeros((a, h), o.dtype),
-                            recv_start, recv_sizes, back_out_offs,
-                            send_sizes, axis)
+            # ---- back to arrival order, return transfer ------------------
+            o_sm = jnp.zeros((cap + 1, h), o.dtype).at[
+                jnp.where(valid, src, cap)
+            ].set(o)[:cap]
+            back_out_offs = (jnp.cumsum(cm, axis=1) - cm)[:, r]
+            return ragged_a2a(o_sm, jnp.zeros((ss, h), o.dtype),
+                              recv_start, recv_sizes, back_out_offs,
+                              send_sizes, axis)
+
+        # Receive-buffer bound (VERDICT r2 item 6): the single-shot path's
+        # worst case is tl*k rows (~1 GiB bf16 transient per MoE layer at a
+        # 16K-token Air prefill). When that exceeds the budget, dispatch in
+        # sorted-row slabs: each slab's receive buffer is n*ss rows, exact
+        # parity (no token ever dropped — slabs partition the sorted rows).
+        max_rows = (int(os.environ.get("NVT_EP_A2A_MAX_MB", "256")) << 20) \
+            // max(h * jnp.dtype(x.dtype).itemsize, 1)
+        if tl * k <= max_rows:
+            o_back = dispatch_window(xs_send, counts_e, a)
+        else:
+            ss = max(256, min(a, max_rows // n) // 256 * 256)
+            nwin = -(-a // ss)
+            a_pad = nwin * ss
+            xs_p = jnp.pad(xs_send, ((0, a_pad - a), (0, 0)))
+
+            def body(_, args):
+                jw, xw = args
+                lo_w = jw * ss
+                ce_win = (jnp.clip(ecs[1:], lo_w, lo_w + ss)
+                          - jnp.clip(ecs[:-1], lo_w, lo_w + ss))
+                return None, dispatch_window(xw, ce_win, ss)
+
+            _, o_w = jax.lax.scan(
+                body, None,
+                (jnp.arange(nwin, dtype=jnp.int32),
+                 xs_p.reshape(nwin, ss, h)),
+            )
+            o_back = o_w.reshape(a_pad, h)[:a]
+
+        # ---- combine (weights never left the source device) --------------
         w_flat = jnp.take(w_s.reshape(-1), sort_i)
         o_w = o_back.astype(jnp.float32) * w_flat[:, None]
         inv = jnp.zeros((a,), jnp.int32).at[sort_i].set(

@@ -199,7 +199,8 @@ def _flat_set(w):
     return (w,)
 
 
-def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
+def _fused_call(x_p, wc, li, n_w, *wsets_flat, quant_group: int | None = None,
+                interpret: bool = False):
     """wsets_flat: layer-stacked [L, E, ...] tensors (3*n_w routed sets,
     then optionally 3*n_w shared-expert sets [L, ...]); ``li`` (traced int32
     scalar) picks the layer inside the BlockSpec index maps. Passing the
@@ -229,6 +230,8 @@ def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
     def tiles(sets, set_start, k, kdim):
         if n_w == 1:
             kt = next(d for d in range(min(k, 512), 0, -1) if k % d == 0)
+        elif quant_group:  # explicit group: zp/scale may be pre-padded
+            kt = quant_group
         else:
             kg = sets[set_start + n_w - 1].shape[kdim]
             kt = k // kg  # K tile == quant group
@@ -289,7 +292,8 @@ def _fused_call(x_p, wc, li, n_w, *wsets_flat, interpret: bool = False):
 
 
 def moe_dense_fused(x, w_gate, w_up, w_down, w_comb_te, layer_idx=None,
-                    shared=None, interpret: bool = False):
+                    shared=None, quant_group: int | None = None,
+                    interpret: bool = False):
     """Dense-mode MoE: every expert over all T tokens, fused combine.
 
     x [T, H]; w_* per-expert stacks (arrays or quant dicts, all same
@@ -319,5 +323,5 @@ def moe_dense_fused(x, w_gate, w_up, w_down, w_comb_te, layer_idx=None,
         w_comb_te.astype(jnp.float32).T
     )
     out = _fused_call(x_p, wc, layer_idx, n_w, *sets, *sh_sets,
-                      interpret=interpret)
+                      quant_group=quant_group, interpret=interpret)
     return out[:t].astype(x.dtype)

@@ -190,8 +190,10 @@ def _make_kernel(n_sets: int, n_w: int, kt: int, nk: int, tm: int, tn: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("m_ext", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m_ext", "m_real",
+                                             "quant_group", "interpret"))
 def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
+               m_real: int = 0, quant_group: int | None = None,
                interpret: bool = False):
     """Weight stacks are [L, E, ...]; ``layer_idx`` (traced int32) selects
     the layer inside the BlockSpec index maps — slicing the stack in XLA
@@ -202,8 +204,9 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
     n_sets = len(wsets_flat) // n_w
     k = lhs8.shape[1]
     _, e, kw, n = wsets_flat[0].shape
-    kg = wsets_flat[n_w - 1].shape[2]
-    kt = k // kg
+    # explicit group when zp/scale rows are pre-padded (engine init)
+    kt = quant_group or k // wsets_flat[n_w - 1].shape[2]
+    kg = k // kt
     # N tile: Mosaic block shapes need the lane dim %128 (or == the whole
     # dim). GLM-4.5-Air's Im=1408 = 11*128 picks 128 here (352 divides but
     # is not lane-aligned).
@@ -211,8 +214,10 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
               if n % d == 0 and (d % 128 == 0 or d == n))
     tm = _TM
     if _TM_ENV is None:
-        # adapt the row chunk to the average padded rows per expert
-        avg = max(1, (m_ext - 8 * e - _TM) // max(e, 1))
+        # adapt the row chunk to the average rows per expert (m_real is the
+        # caller's true row count, carried on GmmLayout — decode-sized calls
+        # want small chunks, see module docstring)
+        avg = max(1, (m_real or m_ext) // max(e, 1))
         tm = min(_TM, max(16, -(-avg // 8) * 8))
 
     # Mosaic requires BlockSpec dims aligned to the dtype's sublane tiling
@@ -220,15 +225,16 @@ def _gmm2_call(lhs8, offs8, layer_idx, *wsets_flat, m_ext: int,
     # break (GLM-4.5-Air Im=1408 → KG=11): pad to 8. The pad is
     # scan-invariant for layer-stacked params, so XLA hoists it out of the
     # decoder scan; the kernel reads only the first kg rows.
-    if kg % 8 != 0:
-        kg_pad = -(-kg // 8) * 8
+    kg_stored = wsets_flat[n_w - 1].shape[2]
+    if kg_stored % 8 != 0:
+        kg_pad = -(-kg_stored // 8) * 8
         padded = []
         for i, w in enumerate(wsets_flat):
             if i % n_w == 0:  # qw rows are K/2 (int4) or K — already aligned
                 padded.append(w)
             else:
                 padded.append(jnp.pad(
-                    w, [(0, 0), (0, 0), (0, kg_pad - kg), (0, 0)]
+                    w, [(0, 0), (0, 0), (0, kg_pad - kg_stored), (0, 0)]
                 ))
         wsets_flat = tuple(padded)
 
@@ -274,6 +280,7 @@ class GmmLayout:
     offs8: jax.Array
     dst8: jax.Array
     m_ext: int
+    m_real: int = 0  # the caller's true (unpadded) row count
 
 
 def make_layout(group_sizes: jax.Array, m: int) -> GmmLayout:
@@ -288,7 +295,7 @@ def make_layout(group_sizes: jax.Array, m: int) -> GmmLayout:
     row = jnp.arange(m, dtype=jnp.int32)
     grp = jnp.searchsorted(real[1:], row, side="right").astype(jnp.int32)
     dst8 = jnp.take(offs8, grp) + (row - jnp.take(real, grp))
-    return GmmLayout(offs8, dst8, m + 8 * e + _TM)
+    return GmmLayout(offs8, dst8, m + 8 * e + _TM, m)
 
 
 def scatter_rows(rows: jax.Array, layout: GmmLayout) -> jax.Array:
@@ -298,6 +305,7 @@ def scatter_rows(rows: jax.Array, layout: GmmLayout) -> jax.Array:
 
 
 def quant_gmm2_chain(lhs8, wsets: list, layout: GmmLayout, layer_idx=None,
+                     quant_group: int | None = None,
                      interpret: bool = False):
     """One grouped matmul over padded-layout rows for each quant dict in
     ``wsets`` (sharing the lhs pass); outputs stay in the padded layout.
@@ -315,11 +323,12 @@ def quant_gmm2_chain(lhs8, wsets: list, layout: GmmLayout, layer_idx=None,
         flat += list(parts)
     li = 0 if layer_idx is None else layer_idx
     return _gmm2_call(lhs8, layout.offs8, li, *flat, m_ext=layout.m_ext,
+                      m_real=layout.m_real, quant_group=quant_group,
                       interpret=interpret)
 
 
 def quant_gmm2(lhs, qp: dict, group_sizes, layer_idx=None,
-               interpret: bool = False):
+               quant_group: int | None = None, interpret: bool = False):
     """Grouped quantized matmul over expert-sorted rows (v2 kernel).
 
     Standalone convenience wrapper: pads the sorted lhs into the 8-aligned
@@ -332,17 +341,19 @@ def quant_gmm2(lhs, qp: dict, group_sizes, layer_idx=None,
     src = scatter_rows(jnp.arange(m, dtype=jnp.int32), layout)
     lhs8 = jnp.take(lhs, src, axis=0)
     (out,) = quant_gmm2_chain(lhs8, [qp], layout, layer_idx=layer_idx,
-                              interpret=interpret)
+                              quant_group=quant_group, interpret=interpret)
     return jnp.take(out, layout.dst8, axis=0)
 
 
 def quant_gmm2_pair(lhs, qp_a: dict, qp_b: dict, group_sizes,
-                    layer_idx=None, interpret: bool = False):
+                    layer_idx=None, quant_group: int | None = None,
+                    interpret: bool = False):
     """Two grouped matmuls sharing one pass over the sorted rows."""
     m = lhs.shape[0]
     layout = make_layout(group_sizes, m)
     src = scatter_rows(jnp.arange(m, dtype=jnp.int32), layout)
     lhs8 = jnp.take(lhs, src, axis=0)
     oa, ob = quant_gmm2_chain(lhs8, [qp_a, qp_b], layout,
-                              layer_idx=layer_idx, interpret=interpret)
+                              layer_idx=layer_idx, quant_group=quant_group,
+                              interpret=interpret)
     return jnp.take(oa, layout.dst8, axis=0), jnp.take(ob, layout.dst8, axis=0)

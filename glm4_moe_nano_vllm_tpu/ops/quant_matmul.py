@@ -31,20 +31,26 @@ def unpack_rows(qw_packed: jax.Array, group_size: int) -> jax.Array:
     return u.reshape(*qw_packed.shape[:-2], k2 * 2, m)
 
 
-def dequantize(qp: dict, dtype=jnp.bfloat16) -> jax.Array:
-    """Materialize the full-precision weight [..., K, M] from a quant dict."""
+def dequantize(qp: dict, dtype=jnp.bfloat16,
+               group_size: int | None = None) -> jax.Array:
+    """Materialize the full-precision weight [..., K, M] from a quant dict.
+
+    ``group_size``: pass explicitly when the zp/scale KG rows are
+    pre-padded to the sublane tiling (engine init does this for expert
+    stacks); otherwise it is derived from the scale row count."""
     qw = qp["qw"]
     scale = qp["scale"]
+    k = qw.shape[-2] * (2 if "zp" in qp else 1)
+    group = group_size or k // scale.shape[-2]
+    kg = k // group
     if "zp" in qp:  # AWQ int4: row-packed uint8
-        group = 2 * qw.shape[-2] // scale.shape[-2]
         qw = unpack_rows(qw, group)
-    kg = scale.shape[-2]
-    k, m = qw.shape[-2], qw.shape[-1]
-    group = k // kg
+    m = qw.shape[-1]
     q = qw.astype(jnp.float32).reshape(*qw.shape[:-2], kg, group, m)
     if "zp" in qp:
-        q = q - qp["zp"].astype(jnp.float32)[..., :, None, :]
-    w = q * scale.astype(jnp.float32)[..., :, None, :]
+        zp = qp["zp"][..., :kg, :]
+        q = q - zp.astype(jnp.float32)[..., :, None, :]
+    w = q * scale[..., :kg, :].astype(jnp.float32)[..., :, None, :]
     return w.reshape(*qw.shape[:-2], k, m).astype(dtype)
 
 
@@ -177,19 +183,20 @@ def use_gmm2(qp: dict) -> bool:
 
 def quant_ragged_dot_pair(
     xs: jax.Array, qp_a: dict, qp_b: dict, group_sizes: jax.Array,
-    layer_idx=None,
+    layer_idx=None, quant_group: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Two grouped matmuls sharing the same lhs (MoE gate+up): on TPU one
     fused kernel pass shares activation DMAs and instance overhead.
     ``layer_idx``: quant dicts are layer-stacked [L, E, ...], layer selected
-    in-kernel (gmm2 only; other paths receive pre-sliced weights)."""
+    in-kernel (gmm2 only; other paths receive pre-sliced weights).
+    ``quant_group``: explicit group size (pre-padded zp/scale rows)."""
     if use_gmm2(qp_a):
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import (
             quant_gmm2_pair,
         )
 
         return quant_gmm2_pair(xs, qp_a, qp_b, group_sizes,
-                               layer_idx=layer_idx)
+                               layer_idx=layer_idx, quant_group=quant_group)
     assert layer_idx is None, "layer stacks need the gmm2 path"
     if _use_pallas_gmm(int4="zp" in qp_a, dequant_bytes=_dequant_bytes(qp_a)):
         if "zp" in qp_a:
@@ -210,8 +217,8 @@ def quant_ragged_dot_pair(
             group_sizes,
         )
     return (
-        quant_ragged_dot(xs, qp_a, group_sizes),
-        quant_ragged_dot(xs, qp_b, group_sizes),
+        quant_ragged_dot(xs, qp_a, group_sizes, quant_group=quant_group),
+        quant_ragged_dot(xs, qp_b, group_sizes, quant_group=quant_group),
     )
 
 
@@ -225,27 +232,31 @@ def _dequant_bytes(qp: dict) -> int:
 
 
 def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array,
-                     layer_idx=None) -> jax.Array:
+                     layer_idx=None,
+                     quant_group: int | None = None) -> jax.Array:
     """Grouped expert matmul with quantized per-expert weights [E, K, M].
 
     On TPU this runs the fused Pallas GMM (weights stay int4-packed / int8
     in HBM); otherwise dequantize + ragged_dot (XLA fuses what it can, but
     materializes the expert stack — fallback only). ``layer_idx``: stacks
-    [L, E, ...], layer selected in-kernel (gmm2 only).
+    [L, E, ...], layer selected in-kernel (gmm2 only). ``quant_group``:
+    explicit group size (pre-padded zp/scale rows).
     """
     if use_gmm2(qp):
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import quant_gmm2
 
-        return quant_gmm2(xs, qp, group_sizes, layer_idx=layer_idx)
+        return quant_gmm2(xs, qp, group_sizes, layer_idx=layer_idx,
+                          quant_group=quant_group)
     assert layer_idx is None, "layer stacks need the gmm2 path"
     if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=_dequant_bytes(qp)):
         scale = qp["scale"].astype(jnp.float32)
         if "zp" in qp:
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm
 
+            assert quant_group is None, "v1 GMM needs unpadded zp/scale"
             return quant_gmm(xs, qp["qw"], qp["zp"], scale, group_sizes)
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8
 
         return quant_gmm_int8(xs, qp["qw"], scale, group_sizes)
-    w = dequantize(qp, xs.dtype)
+    w = dequantize(qp, xs.dtype, group_size=quant_group)
     return jax.lax.ragged_dot(xs, w, group_sizes)

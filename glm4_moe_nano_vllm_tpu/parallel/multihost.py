@@ -21,7 +21,6 @@ from __future__ import annotations
 import logging
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 logger = logging.getLogger(__name__)
@@ -51,15 +50,19 @@ def initialize_multihost(
 
 
 def make_global_mesh(dp: int = 1, tp: int | None = None) -> Mesh:
-    """Build a (dp, tp) mesh over all global devices.
+    """Build a (dp, pp=1, tp) mesh over all global devices.
 
-    tp defaults to all devices / dp. Lay out tp over the fastest (ICI)
-    axis by keeping each host's local devices contiguous in tp so TP
-    collectives ride ICI while dp crosses DCN.
+    This is the engine's mesh builder (parallel/sharding.py::make_mesh —
+    which the LLMEngine calls after initialize_multihost) with tp defaulted
+    to all-devices/dp: tp stays innermost so its collectives ride the
+    fastest links (ICI within a host), and dp/pp cross DCN. With tp >
+    local_device_count, the tp axis itself spans hosts — the config-5
+    pattern tests/test_multihost.py::test_two_process_ep_axis_across_boundary
+    exercises.
     """
-    devices = jax.devices()
-    n = len(devices)
+    from glm4_moe_nano_vllm_tpu.parallel.sharding import make_mesh
+
+    n = len(jax.devices())
     tp = tp or n // dp
     assert dp * tp == n, (dp, tp, n)
-    mesh_devices = np.asarray(devices).reshape(dp, tp)
-    return Mesh(mesh_devices, axis_names=("dp", "tp"))
+    return make_mesh(dp=dp, tp=tp)

@@ -81,8 +81,8 @@ def pipeline_forward(
     stage_fn,
     x: jax.Array,  # [B, S, H] hidden states entering the pipelined stack
     layer_params,  # pytree of [L, ...] stacked arrays, L sharded over pp
-    k_caches: jax.Array,  # [H, L*nb, bs, D] layer-flat cache, dim 1 on pp
-    v_caches: jax.Array,
+    k_caches,  # [H, L*nb, bs, D] layer-flat cache (or fp8 {data, scale}
+    v_caches,  # dict — every leaf has the layer-flat dim at axis 1), on pp
     batch: BatchInfo,
     num_mb: int = 0,
 ):
@@ -138,11 +138,13 @@ def pipeline_forward(
 
     stack_spec = jax.tree.map(lambda _: P("pp"), layer_params)
     batch_spec = jax.tree.map(lambda _: P(), batch)
+    kc_spec = jax.tree.map(lambda _: P(None, "pp"), k_caches)
+    vc_spec = jax.tree.map(lambda _: P(None, "pp"), v_caches)
     fn = jax.shard_map(
         pipelined,
         mesh=mesh,
-        in_specs=(P(), stack_spec, P(None, "pp"), P(None, "pp"), batch_spec),
-        out_specs=(P(), P(None, "pp"), P(None, "pp")),
+        in_specs=(P(), stack_spec, kc_spec, vc_spec, batch_spec),
+        out_specs=(P(), kc_spec, vc_spec),
         axis_names=frozenset({"pp"}),
         check_vma=False,
     )

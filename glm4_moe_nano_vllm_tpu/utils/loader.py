@@ -213,6 +213,82 @@ def _route_glm4_moe(filler: _TreeFiller, name: str, tensor: np.ndarray, cfg) -> 
 _ROUTERS = {"qwen3": _route_qwen3, "glm4_moe": _route_glm4_moe}
 
 
+def skip_reason(name: str, cfg) -> str | None:
+    """Documented reasons a checkpoint tensor is intentionally NOT loaded.
+
+    GLM-4.5 checkpoints carry tensors this engine (like the reference,
+    which debug-loads 2 layers and has no MTP either,
+    `/root/reference/nanovllm/models/glm4_moe/model.py:20-22`) does not
+    consume:
+      * the MTP / ``nextn`` speculative-decoding block: one extra decoder
+        layer at index >= num_hidden_layers (``num_nextn_predict_layers``)
+        plus its enorm/hnorm/eh_proj/shared_head companions;
+      * persisted rotary inv_freq caches (derived, recomputed here).
+    Anything else unrouted is an error (see load_params).
+    """
+    if name.endswith("rotary_emb.inv_freq"):
+        return "rope-cache"
+    m = _LAYER_RE.match(name)
+    if m and int(m.group(1)) >= cfg.num_layers:
+        return "mtp-nextn-layer"
+    if any(part in name for part in
+           (".eh_proj.", ".enorm.", ".hnorm.", ".shared_head.")):
+        return "mtp-nextn-head"
+    return None
+
+
+class _DryFiller:
+    """Filler stand-in that records routing without touching buffers
+    (manifest classification: no tensor data, no shape checks)."""
+
+    def put(self, path, value, layer=None, sub=None):
+        pass
+
+
+_QUANT_LEAVES = ("qweight", "qzeros", "scales")
+
+
+def classify_checkpoint_names(names, cfg) -> dict[str, str]:
+    """Map every checkpoint tensor name to 'routed' | 'skipped:<reason>' |
+    'unrouted' without reading any tensor data.
+
+    This is the loader's full-manifest contract: a real GLM-4.5-Air AWQ
+    checkpoint must classify with zero 'unrouted' entries
+    (tests/test_checkpoint_manifest.py pins the complete name list).
+    """
+    route = _ROUTERS[cfg.architecture]
+    dry = _DryFiller()
+    out: dict[str, str] = {}
+    for name in names:
+        reason = skip_reason(name, cfg)
+        if reason is not None:
+            out[name] = f"skipped:{reason}"
+            continue
+        leaf = name.rsplit(".", 1)[-1]
+        probe = name
+        if leaf in _QUANT_LEAVES:
+            probe = name[: -len(leaf) - 1] + ".weight"
+        dummy = np.zeros((), np.float32)  # routers may .T it; put() ignores
+        out[name] = "routed" if route(dry, probe, dummy, cfg) else "unrouted"
+    return out
+
+
+def report_unrouted(unrouted: list[str], where: str) -> None:
+    """Unrouted tensors are a loader bug or an unknown checkpoint variant:
+    fail loudly (NVT_LOADER_LAX=1 downgrades to a warning)."""
+    if not unrouted:
+        return
+    msg = (f"{len(unrouted)} unrouted checkpoint tensors in {where} "
+           f"(first 20): {unrouted[:20]}")
+    if os.environ.get("NVT_LOADER_LAX"):
+        logger.warning(msg)
+    else:
+        raise ValueError(
+            msg + " — set NVT_LOADER_LAX=1 to load anyway (tensors will "
+            "be ignored)"
+        )
+
+
 def load_params(model, path: str, mesh=None, shardings=None):
     cfg = model.cfg
     if cfg.quant is not None:
@@ -223,8 +299,11 @@ def load_params(model, path: str, mesh=None, shardings=None):
     route = _ROUTERS[cfg.architecture]
     unrouted = []
     for name, tensor in iter_safetensors(path):
+        reason = skip_reason(name, cfg)
+        if reason is not None:
+            logger.debug("skipping %s (%s)", name, reason)
+            continue
         if not route(filler, name, tensor, cfg):
             unrouted.append(name)
-    if unrouted:
-        logger.warning("unrouted checkpoint tensors: %s", unrouted[:10])
+    report_unrouted(unrouted, path)
     return filler.finalize(mesh=mesh, shardings=shardings)

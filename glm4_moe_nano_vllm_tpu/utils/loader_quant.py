@@ -33,6 +33,8 @@ from glm4_moe_nano_vllm_tpu.utils.loader import (
     _ROUTERS,
     _TreeFiller,
     iter_safetensors,
+    report_unrouted,
+    skip_reason,
 )
 
 logger = logging.getLogger(__name__)
@@ -78,6 +80,10 @@ def load_params_quant(model, path: str, mesh=None, shardings=None):
     route = _ROUTERS[cfg.architecture]
     unrouted = []
     for name, tensor in iter_safetensors(path):
+        reason = skip_reason(name, cfg)
+        if reason is not None:
+            logger.debug("skipping %s (%s)", name, reason)
+            continue
         leaf = name.rsplit(".", 1)[-1]
         if leaf in _QUANT_LEAF:
             base = name[: -len(leaf) - 1] + ".weight"
@@ -97,6 +103,5 @@ def load_params_quant(model, path: str, mesh=None, shardings=None):
             ok = route(filler, name, np.asarray(tensor), cfg)
         if not ok:
             unrouted.append(name)
-    if unrouted:
-        logger.warning("unrouted checkpoint tensors: %s", unrouted[:10])
+    report_unrouted(unrouted, path)
     return filler.finalize(mesh=mesh, shardings=shardings)

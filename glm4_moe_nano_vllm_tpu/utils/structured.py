@@ -10,7 +10,15 @@ LLM weights are — the exact statistics that motivated AWQ
 
   * per-output-channel log-normal scale modulation (σ = 0.6);
   * ~0.5% outlier channels scaled ×12;
-  * per-group input-direction modulation so quant groups see varied ranges.
+  * per-group input-direction modulation so quant groups see varied ranges;
+  * residual-branch output scaling ~1/sqrt(2·depth) on wo/down projections
+    (the GPT-2 init rule trained residual networks obey) — deep RANDOM
+    networks otherwise amplify parameter perturbations exponentially
+    through the residual stream, so at 10+ layers ΔPPL measured synthetic
+    chaos instead of kernel quantization error (round-2 at-scale gate:
+    INT4 Δ+4080 from ~0.2% per-weight error). Uniform scaling preserves
+    each quant group's RELATIVE dynamic range, so the AWQ-hard channel
+    statistics above are untouched.
 
 ``quantize_params`` then produces the INT4/INT8 variants from the SAME bf16
 tree (matching what the loader's on-the-fly quantization does for float
@@ -41,13 +49,25 @@ def _leaf_name(path) -> str:
     return path[-1].key if hasattr(path[-1], "key") else str(path[-1])
 
 
+# residual-stream output projections (the branch outputs that add into x)
+_RESIDUAL_OUT_LEAVES = {"wo", "down", "expert_down", "shared_down"}
+
+
 def structure_params(params, seed: int = 0, outlier_frac: float = 0.005,
-                     outlier_scale: float = 12.0, sigma: float = 0.6):
-    """Apply trained-like scale statistics to every linear weight leaf."""
+                     outlier_scale: float = 12.0, sigma: float = 0.6,
+                     num_layers: int | None = None):
+    """Apply trained-like scale statistics to every linear weight leaf.
+
+    ``num_layers``: total decoder depth; when given, residual-branch output
+    projections are scaled by 1/sqrt(2*num_layers) so perturbation growth
+    through the residual stream matches trained networks instead of
+    compounding exponentially (see module docstring)."""
     rng = np.random.default_rng(seed)
+    res_scale = (1.0 / np.sqrt(2.0 * num_layers)) if num_layers else 1.0
 
     def mod(path, leaf):
-        if _leaf_name(path) not in _LINEAR_LEAVES or isinstance(leaf, dict):
+        name = _leaf_name(path)
+        if name not in _LINEAR_LEAVES or isinstance(leaf, dict):
             return leaf
         w = np.asarray(leaf, np.float32)
         k, m = w.shape[-2], w.shape[-1]
@@ -56,6 +76,8 @@ def structure_params(params, seed: int = 0, outlier_frac: float = 0.005,
         col[out] *= outlier_scale
         row = rng.lognormal(0.0, sigma / 2, size=k).astype(np.float32)
         w = w * col[None, :] * row[:, None]
+        if name in _RESIDUAL_OUT_LEAVES:
+            w = w * res_scale
         return jax.numpy.asarray(w.astype(np.asarray(leaf).dtype))
 
     return jax.tree_util.tree_map_with_path(mod, params)

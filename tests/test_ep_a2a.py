@@ -153,3 +153,39 @@ def test_ep_fused_dense_kernel_matches_single_device():
     finally:
         del os.environ["NVT_FUSED_MOE_INTERPRET"]
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_ep_a2a_16k_prefill_slab_bounded(monkeypatch):
+    """>=16K-token EP prefill with the receive buffer capped (VERDICT r2
+    item 6): the slab path (sorted-row windows, cap = n*ss rows) is forced
+    by a tiny NVT_EP_A2A_MAX_MB and must match both the single-device
+    reference and the unbounded single-shot path, including under a
+    pathologically skewed routing (every token's top choice on one
+    device's experts)."""
+    rng = np.random.default_rng(9)
+    e, h, im, k, n, t = 8, 64, 64, 2, 4, 16384
+    x, idx, w, wg, wu, wd = _rand_moe(rng, e, h, im, t, k)
+    mesh = _mesh1d(n)
+
+    want = np.asarray(moe_experts(x, idx, w, wg, wu, wd))
+    got_unbounded = np.asarray(jax.jit(
+        lambda *a: moe_experts_ep(*a, mesh=mesh, dispatch="a2a")
+    )(x, idx, w, wg, wu, wd))
+    np.testing.assert_allclose(got_unbounded, want, rtol=3e-5, atol=3e-5)
+
+    monkeypatch.setenv("NVT_EP_A2A_MAX_MB", "1")  # force many slabs
+    got_slab = np.asarray(jax.jit(
+        lambda *a: moe_experts_ep(*a, mesh=mesh, dispatch="a2a")
+    )(x, idx, w, wg, wu, wd))
+    np.testing.assert_allclose(got_slab, want, rtol=3e-5, atol=3e-5)
+
+    # extreme skew: all assignments to experts {0, 1} (device 0 at n=4)
+    idx_skew = jnp.asarray(
+        rng.integers(0, 2, size=(t, k)), jnp.int32)
+    w_skew = jnp.full((t, k), 0.5, jnp.float32)
+    want_skew = np.asarray(moe_experts(x, idx_skew, w_skew, wg, wu, wd))
+    got_skew = np.asarray(jax.jit(
+        lambda *a: moe_experts_ep(*a, mesh=mesh, dispatch="a2a")
+    )(x, idx_skew, w_skew, wg, wu, wd))
+    np.testing.assert_allclose(got_skew, want_skew, rtol=3e-5, atol=3e-5)

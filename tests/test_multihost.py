@@ -135,3 +135,49 @@ def test_two_process_jax_distributed_run():
     ref = build_engine()
     want = [o["token_ids"] for o in ref.generate(prompts, sp, use_tqdm=False)]
     assert outs[0] == want
+
+
+@pytest.mark.slow
+def test_two_process_ep_axis_across_boundary():
+    """EP/tp axis SPANS the process boundary: (dp=1, tp=8) over 2 processes
+    x 4 devices with experts sharded on tp and a2a dispatch forced — every
+    expert-path collective (psum combine, ragged_all_to_all dispatch,
+    logits all_gather) crosses processes. This is the DCN-crossing pattern
+    of BASELINE config 5 (GLM-4.5 355B over >=2 hosts); the round-2 test
+    only ever placed tp inside one process. Checks identical tokens on both
+    processes and vs a single-process engine of the same model."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), "tp8ep"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, out[-4000:]
+        tok = [ln for ln in out.splitlines() if ln.startswith("TOKENS ")]
+        assert tok, out[-4000:]
+        outs.append(json.loads(tok[0][len("TOKENS "):]))
+
+    assert outs[0] == outs[1]
+
+    # single-process reference with the same (8-head) model, no mesh
+    mc = dict(MOE_MC, num_heads=8, num_kv_heads=8)
+    prompts, sp = request_stream()
+    ref = build_engine(model_config=ModelConfig(**mc))
+    want = [o["token_ids"] for o in ref.generate(prompts, sp, use_tqdm=False)]
+    assert outs[0] == want

@@ -99,3 +99,19 @@ def test_pp_rejects_sequence_parallel_prefill():
         Config(model="", model_config=TINY_MOE, prefill_sp_degree=2,
                prefill_chunk_size=32, kvcache_block_size=16,
                pipeline_parallel_size=2, num_kvcache_blocks=64)
+
+
+def test_pp_fp8_kv_matches_single_device():
+    """fp8 {data, scale} KV caches under pipeline parallelism (the round-2
+    assert is lifted: pipeline_forward + cache_specs are pytree-generic).
+    Parity vs a single-device fp8 engine — fp8 storage changes values
+    slightly vs bf16, so the reference must be fp8 too."""
+    mc = TINY_MOE
+    r1, s1 = make_runner(mc, kv_cache_dtype="float8_e4m3fn")
+    base = greedy_tokens(r1, s1, PROMPTS)
+
+    mesh = make_mesh(dp=1, tp=2, pp=2)
+    r2, s2 = make_runner(mc, mesh=mesh, kv_cache_dtype="float8_e4m3fn")
+    assert r2.model.pp == 2
+    piped = greedy_tokens(r2, s2, PROMPTS)
+    assert base == piped

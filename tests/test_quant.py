@@ -333,7 +333,7 @@ def test_structured_weights_ppl_delta(method):
 
     model_fp = build_model(mc, jnp.float32)
     params = model_fp.init_params(jax.random.PRNGKey(3))
-    params = structure_params(params, seed=7)
+    params = structure_params(params, seed=7, num_layers=mc.num_layers)
     # sharpen the (tied) head so logits are peaky, then evaluate on
     # sequences the fp model GENERATES itself: the model assigns high
     # probability to its own samples, so PPL sits far below vocab-uniform

@@ -237,3 +237,41 @@ def test_quant_gmm2_layer_stacked_chain():
             want[off:off + c] = np.asarray(lhs)[off:off + c] @ w[ei]
             off += c
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_quant_gmm2_multi_ntile_skip_x():
+    """n > 512 => 2 N-tiles: exercises the decode-shape skip_x lhs-reuse
+    fast path (nchunks==1, program_id(1)>0 reuses the VMEM-resident rows)
+    and its semaphore balancing — ADVICE r2: previously untested (test
+    shapes all picked tn==n)."""
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm2_pallas import quant_gmm2
+
+    rng = np.random.default_rng(7)
+    e, k, n = 4, 64, 1024  # tn=512 -> 2 N-tiles per expert
+    sizes = [8, 0, 16, 3]  # decode-sized groups: nchunks==1 everywhere
+    m = sum(sizes)
+    gs = jnp.asarray(sizes, jnp.int32)
+    lhs = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    qa = _qdict_stack(rng, e, k, n)
+    got = np.asarray(quant_gmm2(lhs, qa, gs, interpret=True))
+    wa = np.asarray(dequantize(qa, jnp.float32))
+    want = np.zeros((m, n), np.float32)
+    off = 0
+    for ei, c in enumerate(sizes):
+        want[off:off + c] = np.asarray(lhs)[off:off + c] @ wa[ei]
+        off += c
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # mixed: one multi-chunk group (skip_x must NOT engage for it)
+    sizes2 = [70, 2, 0, 9]
+    m2 = sum(sizes2)
+    gs2 = jnp.asarray(sizes2, jnp.int32)
+    lhs2 = jnp.asarray(rng.normal(size=(m2, k)), jnp.float32)
+    got2 = np.asarray(quant_gmm2(lhs2, qa, gs2, interpret=True))
+    want2 = np.zeros((m2, n), np.float32)
+    off = 0
+    for ei, c in enumerate(sizes2):
+        want2[off:off + c] = np.asarray(lhs2)[off:off + c] @ wa[ei]
+        off += c
+    np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=2e-5)

@@ -50,13 +50,15 @@ TINY_MOE = ModelConfig(
 
 
 def make_runner(mc, mesh=None, moe_parallel="im", **kw):
-    cfg = Config(
-        model="", model_config=mc, max_num_seqs=4, max_model_len=128,
+    defaults = dict(
+        max_num_seqs=4, max_model_len=128,
         kvcache_block_size=16, num_kvcache_blocks=64, prefill_chunk_size=64,
         enforce_eager=True, dtype="float32", kv_cache_dtype="float32",
         decode_buckets=(1, 2, 4), prefill_seq_buckets=(1, 2, 4),
-        prefill_len_buckets=(16, 32, 64), moe_parallel=moe_parallel, **kw,
+        prefill_len_buckets=(16, 32, 64), moe_parallel=moe_parallel,
     )
+    defaults.update(kw)
+    cfg = Config(model="", model_config=mc, **defaults)
     return ModelRunner(cfg, mesh=mesh), Scheduler(cfg)
 
 
