@@ -59,7 +59,9 @@ def main():
     )
     num_seqs = int(os.environ.get("AIR_NUM_SEQS", "64"))
     kv = os.environ.get("AIR_KV", "bfloat16")
-    bs = 128 if kv.startswith("float8") else 32
+    # round 3: fp8 scale pages land per-sublane in the decode kernel, so
+    # fp8 runs the same 32-token blocks as bf16 (apples-to-apples)
+    bs = int(os.environ.get("AIR_BS", "32"))
 
     llm = LLM(
         model="",
@@ -82,8 +84,11 @@ def main():
     rng = np.random.default_rng(0)
     prompts = [rng.integers(4, 60000, size=int(rng.integers(32, 128))).tolist()
                for _ in range(num_seqs)]
-    sp = [SamplingParams(temperature=0.6,
-                         max_tokens=int(rng.integers(48, 96)),
+    # uniform output length: decode windows stay FULL, so decode_tok_s is
+    # the steady-state full-batch rate (ragged max_tokens leaves later
+    # windows partially empty and under-reports the per-chip rate)
+    out_len = int(os.environ.get("AIR_OUT_TOKENS", "64"))
+    sp = [SamplingParams(temperature=0.6, max_tokens=out_len,
                          ignore_eos=True) for _ in range(num_seqs)]
     warm = [rng.integers(4, 60000, size=len(p)).tolist() for p in prompts]
     llm.generate(warm, [SamplingParams(temperature=0.6, max_tokens=4,

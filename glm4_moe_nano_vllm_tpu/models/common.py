@@ -31,13 +31,20 @@ from glm4_moe_nano_vllm_tpu.ops.kv_cache import write_kv
 Params = dict[str, Any]
 
 
-def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
-    """Dense or weight-only-quantized linear (w is an array or a quant dict)."""
+def linear(x: jax.Array, w, b: jax.Array | None = None,
+           layer_idx=None, quant_group: int | None = None) -> jax.Array:
+    """Dense or weight-only-quantized linear (w is an array or a quant dict).
+
+    ``layer_idx``: w is a layer-stacked [L, ...] quant dict; the dense
+    Pallas kernel selects the layer in-kernel (no scan-xs slice copy)."""
     if isinstance(w, dict):
         from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_matmul
 
-        out = quant_matmul(x, w)
+        out = quant_matmul(x, w, layer_idx=layer_idx,
+                           quant_group=quant_group)
     else:
+        if layer_idx is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer_idx, 0, False)
         out = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         out = out + b
@@ -54,6 +61,10 @@ def attention_block(
     inv_freq: jax.Array,
     layer_idx: jax.Array,  # scalar int32: this layer's slab in the flat cache
     num_blocks: int,  # blocks per layer (static)
+    attn_stacks: Params | None = None,  # full [L, ...] wq/wk/wv/wo stacks:
+    # projections select the layer in-kernel instead of riding the scan xs
+    # (each sliced INT4 qkv/o stack is a real per-layer copy, ~0.9 ms per
+    # Air decode micro-step)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     b, s, _ = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -63,9 +74,15 @@ def attention_block(
     kc_arr = k_cache["data"] if is_scaled_cache(k_cache) else k_cache
     block_size = kc_arr.shape[2]
 
-    q = linear(x, lp["wq"], lp.get("bq")).reshape(b, s, nq, d)
-    k = linear(x, lp["wk"], lp.get("bk")).reshape(b, s, nkv, d)
-    v = linear(x, lp["wv"], lp.get("bv")).reshape(b, s, nkv, d)
+    ws = attn_stacks if attn_stacks is not None else lp
+    li = layer_idx if attn_stacks is not None else None
+    qg = cfg.quant.group_size if cfg.quant is not None else None
+    q = linear(x, ws["wq"], lp.get("bq"), layer_idx=li,
+               quant_group=qg).reshape(b, s, nq, d)
+    k = linear(x, ws["wk"], lp.get("bk"), layer_idx=li,
+               quant_group=qg).reshape(b, s, nkv, d)
+    v = linear(x, ws["wv"], lp.get("bv"), layer_idx=li,
+               quant_group=qg).reshape(b, s, nkv, d)
 
     if cfg.use_qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
@@ -107,7 +124,8 @@ def attention_block(
         block_tables, batch.context_lens, batch.positions,
         sm_scale=1.0 / math.sqrt(d),
     )
-    out = linear(o.reshape(b, s, nq * d), lp["wo"])
+    out = linear(o.reshape(b, s, nq * d), ws["wo"], layer_idx=li,
+                 quant_group=qg)
     return out, k_cache, v_cache
 
 

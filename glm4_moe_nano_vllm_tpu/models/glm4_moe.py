@@ -177,7 +177,8 @@ class Glm4MoeForCausalLM:
             b, s, h = x.shape
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
-                                        li, nb)
+                                        li, nb,
+                                        attn_stacks=self._full_attn)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             flat = hh.reshape(b * s, h)
@@ -228,6 +229,7 @@ class Glm4MoeForCausalLM:
             return (x, kc, vc), None
 
         new_caches = dict(caches)
+        self._full_attn = None  # set for the non-pp MoE stack below
         if self.num_dense > 0:
             (x, kd, vd), _ = jax.lax.scan(
                 lambda c, xs: dense_body(c, xs, batch),
@@ -268,8 +270,17 @@ class Glm4MoeForCausalLM:
                 expert_keys += ("shared_gate", "shared_up", "shared_down")
             self._full_experts = {k: params["moe_layers"][k]
                                   for k in expert_keys}
+            # quantized attention projections also stay out of the scan xs:
+            # the dense Pallas kernel selects the layer in-kernel
+            attn_keys = tuple(
+                k for k in ("wq", "wk", "wv", "wo")
+                if isinstance(params["moe_layers"].get(k), dict)
+            )
+            if attn_keys:
+                self._full_attn = {k: params["moe_layers"][k]
+                                   for k in attn_keys}
             scan_params = {k: v for k, v in params["moe_layers"].items()
-                           if k not in expert_keys}
+                           if k not in expert_keys + attn_keys}
             (x, km, vm), _ = jax.lax.scan(
                 lambda c, xs: moe_body(c, xs, batch),
                 (x, caches["moe_k"], caches["moe_v"]),

@@ -47,11 +47,9 @@ def paged_attention(
     kc = k_cache["data"] if isinstance(k_cache, dict) else k_cache
     kv_capacity = block_tables.shape[1] * kc.shape[2]
     min_cap = int(os.environ.get("NVT_PA_MIN_CAPACITY", "0"))
-    # fp8 scale planes need 128-aligned lane windows: the Pallas kernels
-    # require block_size % 128 == 0 for scaled caches
-    fp8_ok = not isinstance(k_cache, dict) or kc.shape[2] % 128 == 0
-    if (_use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > min_cap
-            and fp8_ok):
+    # fp8 scale planes land one page per sublane in the decode kernel
+    # (round 3), so any block size works — no bs % 128 gate anymore
+    if (_use_pallas() and q.shape[-1] % 128 == 0 and kv_capacity > min_cap):
         from glm4_moe_nano_vllm_tpu.ops.paged_attention_pallas import (
             paged_attention_pallas,
         )

@@ -81,21 +81,22 @@ class _ChunkCopy:
 
 
 class _ScaleChunkCopy(_ChunkCopy):
-    """fp8 per-row scale planes [Hkv, NB, 1, bs] land chunk-contiguously in
-    a [Hkv, 1, chunk] lane window (page j at lanes [j*bs, (j+1)*bs) — offsets
-    are 128-aligned because the fp8 Pallas path requires bs % 128 == 0), so
-    the score multiply needs no relayout."""
+    """fp8 per-row scale planes [Hkv, NB, 1, SL] (SL = 128-lane-padded bs,
+    ops/kv_cache.py::scale_lanes) land one page per SUBLANE of a
+    [Hkv, bpc, 1, SL] buffer — lane offsets stay 0, so ANY block size
+    works (the round-2 chunk-contiguous landing needed bs % 128 == 0).
+    The kernel compacts the first bs lanes of each page into the
+    [Hkv, 1, chunk] score multiplier with bpc static lane-concats."""
 
     def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc,
-                 first_page, pages_needed, bs):
+                 first_page, pages_needed):
         self.entries = []
         for j in range(bpc):
             page = pi_ref[page_offset + j]
             cond = first_page + j < pages_needed
             self.entries.append(
                 (pltpu.make_async_copy(
-                    hbm_ref.at[:, page],
-                    buf.at[:, :, pl.ds(j * bs, bs)], sem),
+                    hbm_ref.at[:, page], buf.at[:, j], sem),
                  cond)
             )
 
@@ -146,10 +147,10 @@ def _decode_kernel(
         if scaled:
             cs.append(_ScaleChunkCopy(ks_hbm, ks_buf.at[slot],
                                       sems.at[2, slot], pi_ref, off, bpc,
-                                      first, needed, block_size))
+                                      first, needed))
             cs.append(_ScaleChunkCopy(vs_hbm, vs_buf.at[slot],
                                       sems.at[3, slot], pi_ref, off, bpc,
-                                      first, needed, block_size))
+                                      first, needed))
         return cs
 
     def next_indices(b_, i_):
@@ -217,10 +218,16 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+        def compact_scales(sbuf):
+            # [hkv, bpc, 1, SL] -> [hkv, 1, chunk]: first bs lanes per page
+            return jnp.concatenate(
+                [sbuf[:, j, :, :block_size] for j in range(bpc)], axis=-1
+            )
+
         if scaled:
             # fp8 dequant folds into the scores: one multiply per kv row
             cs[2].wait()
-            s = s * ks_buf[buf]  # [hkv, 1, chunk] broadcast over G
+            s = s * compact_scales(ks_buf[buf])  # [hkv, 1, chunk] over G
         pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
@@ -234,7 +241,7 @@ def _decode_kernel(
         if scaled:
             # v's per-row scale folds into p (p @ (v*s) == (p*s) @ v)
             cs[3].wait()
-            p = p * vs_buf[buf]  # [hkv, 1, chunk]
+            p = p * compact_scales(vs_buf[buf])  # [hkv, 1, chunk]
         acc_new = acc_scr[...] * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -288,11 +295,8 @@ def paged_attention_decode(
         pltpu.VMEM((2, hkv, bpc, bs, d), vc.dtype),
     ]
     if scaled:
-        assert bs % 128 == 0, (
-            "fp8 Pallas decode needs block_size % 128 == 0 (scale lanes); "
-            "ops/attention.py routes other block sizes to the XLA path"
-        )
-        scratch += [pltpu.VMEM((2, hkv, 1, bs * bpc), jnp.float32)] * 2
+        sl = k_cache["scale"].shape[-1]  # 128-lane-padded bs
+        scratch += [pltpu.VMEM((2, hkv, bpc, 1, sl), jnp.float32)] * 2
     scratch.append(pltpu.SemaphoreType.DMA((len(caches), 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

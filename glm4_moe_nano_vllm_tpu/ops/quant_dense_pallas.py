@@ -30,21 +30,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(n_w: int, kt: int, nk: int):
-    def kernel(x_ref, *refs):
+    def kernel(li_ref, x_ref, *refs):
+        del li_ref  # consumed by the BlockSpec index maps only
         out_ref = refs[-1]
+        w_refs = [r.at[0] for r in refs[:-1]]  # drop the layer block dim
         x = x_ref[...]  # [B_pad, K]
         acc = None
         for ki in range(nk):
-            scale = refs[n_w - 1][ki:ki + 1, :].astype(jnp.float32)
+            scale = w_refs[n_w - 1][ki:ki + 1, :].astype(jnp.float32)
             if n_w == 3:  # int4
-                q32 = refs[0][ki * (kt // 2):(ki + 1) * (kt // 2), :].astype(
-                    jnp.int32
-                )
+                q32 = w_refs[0][
+                    ki * (kt // 2):(ki + 1) * (kt // 2), :
+                ].astype(jnp.int32)
                 q = jnp.concatenate([q32 & 0x0F, q32 >> 4], axis=0)
-                q = q - refs[1][ki:ki + 1, :].astype(jnp.int32)
+                q = q - w_refs[1][ki:ki + 1, :].astype(jnp.int32)
                 w = (q.astype(jnp.float32) * scale).astype(x.dtype)
             else:  # int8
-                q = refs[0][ki * kt:(ki + 1) * kt, :].astype(jnp.float32)
+                q = w_refs[0][ki * kt:(ki + 1) * kt, :].astype(jnp.float32)
                 w = (q * scale).astype(x.dtype)
             p = jnp.dot(x[:, ki * kt:(ki + 1) * kt], w,
                         preferred_element_type=jnp.float32)
@@ -54,35 +56,50 @@ def _make_kernel(n_w: int, kt: int, nk: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _dense_call(x_p, *wset, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("quant_group", "interpret"))
+def _dense_call(x_p, li, *wset, quant_group: int | None = None,
+                interpret: bool = False):
+    """wset arrays are layer-stacked [L, rows, N]; ``li`` (traced int32)
+    selects the layer inside the BlockSpec index maps — single weights pass
+    L=1 views. Slicing a stack in XLA would materialize a per-layer copy in
+    front of the custom call (the scan-xs problem, see
+    moe_dense_fused_pallas)."""
     n_w = len(wset)
     b_pad, k = x_p.shape
     n = wset[0].shape[-1]
-    kg = wset[-1].shape[0]
-    kt = k // kg  # K tile == quant group
+    kt = quant_group or k // wset[-1].shape[1]  # K tile == quant group
     # N tile: biggest divisor of N <= 512 keeps the weight block ~<= 0.5 MB
     # (double-buffered) while amortizing per-step pipeline overhead; must be
     # lane-aligned (%128) unless it covers the whole dim (Mosaic block rule)
     tn = next(d for d in range(min(n, 512), 0, -1)
               if n % d == 0 and (d % 128 == 0 or d == n))
 
-    in_specs = [pl.BlockSpec((b_pad, k), lambda i: (0, 0))]
+    in_specs = [pl.BlockSpec((b_pad, k), lambda i, li: (0, 0))]
     for w in wset:
-        in_specs.append(pl.BlockSpec((w.shape[0], tn), lambda i: (0, i)))
-    out = pl.pallas_call(
-        _make_kernel(n_w, kt, k // kt),
+        in_specs.append(
+            pl.BlockSpec((1, w.shape[1], tn), lambda i, li: (li[0], 0, i))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n // tn,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b_pad, tn), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((b_pad, tn), lambda i, li: (0, i)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(n_w, kt, k // kt),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
         interpret=interpret,
-    )(x_p, *wset)
+    )(jnp.asarray(li, jnp.int32).reshape(1), x_p, *wset)
     return out
 
 
-def quant_dense_matmul(x: jax.Array, qp: dict, interpret: bool = False):
-    """y = x @ dequant(qp) for a single [K, N] quant dict; returns x.dtype."""
+def quant_dense_matmul(x: jax.Array, qp: dict, layer_idx=None,
+                       quant_group: int | None = None,
+                       interpret: bool = False):
+    """y = x @ dequant(qp) for a [K, N] quant dict — or, with ``layer_idx``
+    (traced int32), a layer-stacked [L, K, N] dict with the layer selected
+    in-kernel (no per-layer slice copy). Returns x.dtype."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
@@ -94,5 +111,9 @@ def quant_dense_matmul(x: jax.Array, qp: dict, interpret: bool = False):
         wset = (qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32))
     else:
         wset = (qp["qw"], qp["scale"].astype(jnp.float32))
-    out = _dense_call(x2, *wset, interpret=interpret)
+    if layer_idx is None:
+        wset = tuple(w[None] for w in wset)  # L = 1 view (no copy)
+        layer_idx = 0
+    out = _dense_call(x2, layer_idx, *wset, quant_group=quant_group,
+                      interpret=interpret)
     return out[:b].reshape(*lead, -1).astype(x.dtype)

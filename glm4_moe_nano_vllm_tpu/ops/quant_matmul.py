@@ -78,23 +78,31 @@ def quant_gather_rows(qp: dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array
     return w.T.astype(dtype)
 
 
-def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
+def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
+                 quant_group: int | None = None) -> jax.Array:
     """y = x @ dequant(qp): fused Pallas kernel on TPU (weights stay int4
-    packed / int8 in HBM), XLA fused dequant otherwise."""
+    packed / int8 in HBM), XLA fused dequant otherwise.
+
+    With ``layer_idx`` (traced int32), qp is layer-stacked [L, K, N] and
+    the dense Pallas kernel selects the layer in-kernel — per-layer scan-xs
+    slices of attention projections materialized ~0.9 ms of copies per Air
+    decode micro-step. Off the kernel path the stack is sliced (XLA)."""
     import math
     import os
 
-    kq = qp["qw"].shape[0] * (2 if "zp" in qp else 1)
+    stacked = layer_idx is not None
+    wdim = 3 if stacked else 2
+    kq = qp["qw"].shape[-2] * (2 if "zp" in qp else 1)
     aligned = (
-        qp["qw"].ndim == 2
-        and qp["qw"].shape[1] % 128 == 0  # N lane alignment
+        qp["qw"].ndim == wdim
+        and qp["qw"].shape[-1] % 128 == 0  # N lane alignment
         and x.shape[-1] == kq
         and not os.environ.get("NVT_FORCE_XLA_QUANT")
         and _on_tpu()
     )
     if aligned:
         rows = math.prod(x.shape[:-1])
-        db = _dequant_bytes(qp)
+        db = _dequant_bytes(qp) // (qp["qw"].shape[0] if stacked else 1)
         if rows <= 256 and db > (32 << 20):
             # decode-shaped, big weight: whole lhs VMEM-resident, pipelined
             # weight-tile DMAs, one dequant per tile
@@ -105,7 +113,12 @@ def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
                 quant_dense_matmul,
             )
 
-            return quant_dense_matmul(x, qp)
+            return quant_dense_matmul(x, qp, layer_idx=layer_idx,
+                                      quant_group=quant_group)
+        if stacked:  # off the dense-kernel path: slice the layer (XLA)
+            qp = {k: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, False)
+                  for k, v in qp.items()}
+            stacked = False
         if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=db):
             # many-row call too big for the XLA transient (~>1 GB)
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
@@ -122,7 +135,10 @@ def quant_matmul(x: jax.Array, qp: dict) -> jax.Array:
             else:
                 out = quant_gmm_int8(x2, qp["qw"][None], scale, gs)
             return out.reshape(*lead, -1).astype(x.dtype)
-    w = dequantize(qp, x.dtype)
+    if stacked:  # XLA fallback: slice the layer, then fused dequant-dot
+        qp = {k: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, False)
+              for k, v in qp.items()}
+    w = dequantize(qp, x.dtype, group_size=quant_group)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 

@@ -133,9 +133,15 @@ def test_fp8_write_kv_pallas_matches_xla():
                                    np.asarray(b_["scale"]), rtol=1e-6)
 
 
-def test_fp8_pallas_attention_kernels_match_ref():
+import pytest
+
+
+@pytest.mark.parametrize("bs", [128, 32])
+def test_fp8_pallas_attention_kernels_match_ref(bs):
     """Decode + prefill Pallas kernels (interpret mode) on an fp8 cache ==
-    the XLA oracle reading the same quantized cache."""
+    the XLA oracle reading the same quantized cache. bs=32 pins the
+    round-3 any-block-size path (scale pages land one per sublane); the
+    round-2 kernel required bs % 128 == 0."""
     import jax.numpy as jnp
 
     from glm4_moe_nano_vllm_tpu.ops.attention_ref import paged_attention_ref
@@ -146,8 +152,7 @@ def test_fp8_pallas_attention_kernels_match_ref():
     from glm4_moe_nano_vllm_tpu.ops.prefill_pallas import paged_prefill
 
     rng = np.random.default_rng(2)
-    # bs = 128: the Pallas fp8 path's block-size contract (ops/attention.py)
-    h, nb, bs, d, g = 2, 8, 128, 128, 2
+    h, nb, d, g = 2, 8, 128, 2
     kc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
     vc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
     # seq 0: 20 ctx tokens in blocks 0-1; seq 1: 9 tokens in block 2
