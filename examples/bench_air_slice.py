@@ -79,6 +79,7 @@ def main():
         dtype="bfloat16",
         kv_cache_dtype=kv,
         num_scheduler_steps=32,
+        pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "512")),
     )
 
     rng = np.random.default_rng(0)

@@ -133,14 +133,21 @@ def mlp_block(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.
     return linear(silu_and_mul(linear(x, wg), linear(x, wu)), wd)
 
 
-def embed(token_ids: jax.Array, embedding, dtype=jnp.bfloat16) -> jax.Array:
+def embed(token_ids: jax.Array, embedding, dtype=jnp.bfloat16,
+          transposed: bool = False) -> jax.Array:
     """Token embedding gather. ``embedding`` is either a dense [V, H] table
-    or (tied + QuantConfig.quantize_lm_head) the [H, V] LM-head quant dict,
-    whose gathered columns are dequantized on the fly."""
+    or (tied + QuantConfig.quantize_lm_head) a quant dict: the [H, V] LM
+    head itself, or — preferred — its [V, H]-layout twin (``embed_t``,
+    ``transposed=True``), whose row gather avoids a per-step relayout copy
+    of the whole packed head (see quant_gather_rows_t)."""
     if isinstance(embedding, dict):
-        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import quant_gather_rows
+        from glm4_moe_nano_vllm_tpu.ops.quant_matmul import (
+            quant_gather_rows,
+            quant_gather_rows_t,
+        )
 
-        flat = quant_gather_rows(embedding, token_ids.reshape(-1), dtype)
+        gather = quant_gather_rows_t if transposed else quant_gather_rows
+        flat = gather(embedding, token_ids.reshape(-1), dtype)
         return flat.reshape(*token_ids.shape, flat.shape[-1])
     return jnp.take(embedding, token_ids, axis=0)
 

@@ -120,6 +120,12 @@ class Glm4MoeForCausalLM:
             params["lm_head"] = init_weight(
                 jax.random.fold_in(key, 2), (H, cfg.vocab_size), dt, qc
             )
+            if cfg.tie_word_embeddings:
+                from glm4_moe_nano_vllm_tpu.ops.quant_matmul import (
+                    transpose_quant_dict,
+                )
+
+                params["embed_t"] = transpose_quant_dict(params["lm_head"])
         if not (q_head and cfg.tie_word_embeddings):
             params["embed"] = init_linear(
                 jax.random.fold_in(key, 1), (cfg.vocab_size, H), dt
@@ -155,8 +161,13 @@ class Glm4MoeForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
-        x = embed(batch.token_ids, params.get("embed", params.get("lm_head")),
-                  self.dtype)
+        if "embed" in params:
+            x = embed(batch.token_ids, params["embed"], self.dtype)
+        elif "embed_t" in params:
+            x = embed(batch.token_ids, params["embed_t"], self.dtype,
+                      transposed=True)
+        else:
+            x = embed(batch.token_ids, params["lm_head"], self.dtype)
 
         nb = self.num_blocks
 

@@ -75,6 +75,12 @@ class Qwen3ForCausalLM:
             params["lm_head"] = init_weight(
                 jax.random.fold_in(key, 99), (H, cfg.vocab_size), dt, qc
             )
+        if q_head and cfg.tie_word_embeddings:
+            from glm4_moe_nano_vllm_tpu.ops.quant_matmul import (
+                transpose_quant_dict,
+            )
+
+            params["embed_t"] = transpose_quant_dict(params["lm_head"])
         if not (q_head and cfg.tie_word_embeddings):
             params["embed"] = init_linear(ks[7], (cfg.vocab_size, H), dt)
         if not cfg.tie_word_embeddings and not q_head:
@@ -101,8 +107,13 @@ class Qwen3ForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
-        x = embed(batch.token_ids, params.get("embed", params.get("lm_head")),
-                  self.dtype)
+        if "embed" in params:
+            x = embed(batch.token_ids, params["embed"], self.dtype)
+        elif "embed_t" in params:
+            x = embed(batch.token_ids, params["embed_t"], self.dtype,
+                      transposed=True)
+        else:
+            x = embed(batch.token_ids, params["lm_head"], self.dtype)
 
         nb = self.num_blocks
 
@@ -113,11 +124,27 @@ class Qwen3ForCausalLM:
             lp, li = xs
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq,
-                                        li, nb)
+                                        li, nb, attn_stacks=self._full_attn)
             x = x + a
             h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
             return (x, kc, vc), None
+
+        # quantized attention projections stay out of the scan xs (layer
+        # selected in-kernel — per-layer slices of INT4 stacks are real
+        # copies, see glm4_moe.py)
+        self._full_attn = None
+        attn_keys = ()
+        if self.pp == 1:
+            attn_keys = tuple(
+                k for k in ("wq", "wk", "wv", "wo")
+                if isinstance(params["layers"].get(k), dict)
+            )
+            if attn_keys:
+                self._full_attn = {k: params["layers"][k] for k in attn_keys}
+                params = dict(params)
+                params["layers"] = {k: v for k, v in params["layers"].items()
+                                    if k not in attn_keys}
 
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
         if self.pp > 1:

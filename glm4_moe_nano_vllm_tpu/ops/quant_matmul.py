@@ -78,6 +78,39 @@ def quant_gather_rows(qp: dict, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array
     return w.T.astype(dtype)
 
 
+def quant_gather_rows_t(qp_t: dict, ids: jax.Array,
+                        dtype=jnp.bfloat16) -> jax.Array:
+    """Tied-embedding gather from the TRANSPOSED head storage.
+
+    ``qp_t`` holds the [K, V] LM head's pieces transposed — qw [V, K/2],
+    zp/scale [V, KG] — so the embedding is a plain row gather in the same
+    memory layout the matmul kernels pin. The straight-layout gather
+    (quant_gather_rows, axis=1 column take) made XLA keep a {0,1}-layout
+    copy of the whole qw next to the pallas_call's {1,0} operand: a
+    [2048, 65536] u8 relayout copy per decode micro-step (~0.5 ms,
+    profiled). Returns [N, K] rows in ``dtype``."""
+    qw = jnp.take(qp_t["qw"], ids, axis=0)  # [n, K/2] u8 (or [n, K] i8)
+    sc = jnp.take(qp_t["scale"], ids, axis=0).astype(jnp.float32)  # [n, KG]
+    n = ids.shape[0]
+    kg = sc.shape[1]
+    if "zp" in qp_t:
+        half = qw.shape[1] // kg  # G/2 packed bytes per group
+        q = qw.reshape(n, kg, half).astype(jnp.int32)
+        q = jnp.concatenate([q & 0x0F, q >> 4], axis=-1)  # [n, KG, G]
+        z = jnp.take(qp_t["zp"], ids, axis=0).astype(jnp.int32)
+        w = (q - z[:, :, None]).astype(jnp.float32) * sc[:, :, None]
+    else:
+        g = qw.shape[1] // kg
+        w = qw.astype(jnp.float32).reshape(n, kg, g) * sc[:, :, None]
+    return w.reshape(n, -1).astype(dtype)
+
+
+def transpose_quant_dict(qp: dict) -> dict:
+    """[K, V]-layout quant dict -> the [V, K]-layout twin (one-time
+    transpose at init/load; serves quant_gather_rows_t)."""
+    return {k: v.T for k, v in qp.items()}
+
+
 def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
                  quant_group: int | None = None) -> jax.Array:
     """y = x @ dequant(qp): fused Pallas kernel on TPU (weights stay int4
@@ -103,7 +136,12 @@ def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
     if aligned:
         rows = math.prod(x.shape[:-1])
         db = _dequant_bytes(qp) // (qp["qw"].shape[0] if stacked else 1)
-        if rows <= 256 and db > (32 << 20):
+        # stacked weights take the kernel at much smaller sizes: the XLA
+        # alternative pays a per-layer dynamic-slice copy + an unfused
+        # dequant (wk/wv measured ~0.15 ms vs ~0.035 in-kernel per call at
+        # Air widths)
+        dense_min = (1 << 20) if stacked else (32 << 20)
+        if rows <= 256 and db > dense_min:
             # decode-shaped, big weight: whole lhs VMEM-resident, pipelined
             # weight-tile DMAs, one dequant per tile
             # (ops/quant_dense_pallas.py; below 32 MB the XLA dequant-dot's

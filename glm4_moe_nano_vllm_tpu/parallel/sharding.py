@@ -46,6 +46,7 @@ _RULES = {
     # reference writes by hand (embed_head.py:34-42). With tied embeddings
     # the transpose is the lm_head, consistent with the P(None, tp) rule.
     "embed": P("tp", None),
+    "embed_t": P("tp", None),  # [V, K] twin of the quantized tied head
     "final_norm": P(None),
     "lm_head": P(None, "tp"),  # vocab-sharded logits, all-gathered at sample
     # attention (trailing dims of stacked arrays)

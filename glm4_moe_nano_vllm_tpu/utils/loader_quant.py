@@ -104,4 +104,10 @@ def load_params_quant(model, path: str, mesh=None, shardings=None):
         if not ok:
             unrouted.append(name)
     report_unrouted(unrouted, path)
+    if isinstance(filler.bufs, dict) and "embed_t" in filler.bufs:
+        # the [V, K]-layout embedding twin is derived, not loaded: one
+        # transpose of the quantized head (ops/quant_matmul.py
+        # quant_gather_rows_t)
+        for leaf, v in filler.bufs["lm_head"].items():
+            filler.bufs["embed_t"][leaf][...] = np.ascontiguousarray(v.T)
     return filler.finalize(mesh=mesh, shardings=shardings)

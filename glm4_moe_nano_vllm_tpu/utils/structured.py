@@ -69,16 +69,19 @@ def structure_params(params, seed: int = 0, outlier_frac: float = 0.005,
         name = _leaf_name(path)
         if name not in _LINEAR_LEAVES or isinstance(leaf, dict):
             return leaf
-        w = np.asarray(leaf, np.float32)
-        k, m = w.shape[-2], w.shape[-1]
+        k, m = leaf.shape[-2], leaf.shape[-1]
         col = rng.lognormal(0.0, sigma, size=m).astype(np.float32)
         out = rng.random(m) < outlier_frac
         col[out] *= outlier_scale
         row = rng.lognormal(0.0, sigma / 2, size=k).astype(np.float32)
-        w = w * col[None, :] * row[:, None]
+        # device-side multiply: only the tiny modulation vectors cross the
+        # host boundary (pulling multi-GB stacks to numpy and back took
+        # ~30 min over the remote-chip tunnel)
+        w = leaf.astype(jax.numpy.float32) * jax.numpy.asarray(col)
+        w = w * jax.numpy.asarray(row)[:, None]
         if name in _RESIDUAL_OUT_LEAVES:
             w = w * res_scale
-        return jax.numpy.asarray(w.astype(np.asarray(leaf).dtype))
+        return w.astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(mod, params)
 

@@ -381,3 +381,29 @@ def _self_generated_sequences(mc, params, n=4, length=64):
         batch = sched.schedule()
         sched.postprocess(batch, runner.run(batch))
     return [q.token_ids for q in seqs]
+
+
+def test_quant_gather_rows_transposed_matches_straight():
+    """embed_t (transposed [V, K] storage, quant_gather_rows_t) returns
+    bit-identical embedding rows to the straight column gather."""
+    import jax
+    import numpy as np
+
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import (
+        quant_gather_rows,
+        quant_gather_rows_t,
+        transpose_quant_dict,
+    )
+    from glm4_moe_nano_vllm_tpu.ops import quant
+
+    rng = np.random.default_rng(11)
+    k, v, g = 256, 96, 64
+    w = rng.normal(size=(k, v)).astype(np.float32) * 0.05
+    qw, qz, sc = quant.quantize_awq(w, g)
+    a, b, c = quant.repack_awq_for_tpu(qw, qz, sc)
+    qp = {"qw": jnp.asarray(a), "zp": jnp.asarray(b),
+          "scale": jnp.asarray(c)}
+    ids = jnp.asarray(rng.integers(0, v, size=17), jnp.int32)
+    want = quant_gather_rows(qp, ids, jnp.float32)
+    got = quant_gather_rows_t(transpose_quant_dict(qp), ids, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
