@@ -277,13 +277,15 @@ def bench_air_slice(peak_bw: float) -> dict:
         dtype="bfloat16",
         kv_cache_dtype="bfloat16",
         num_scheduler_steps=32,
+        pa_chunk_tokens=512,
     )
     rng = np.random.default_rng(0)
     prompts = [rng.integers(4, 60000, size=int(rng.integers(32, 128))).tolist()
                for _ in range(num_seqs)]
-    sp = [SamplingParams(temperature=0.6,
-                         max_tokens=int(rng.integers(48, 96)),
-                         ignore_eos=True) for _ in range(num_seqs)]
+    # uniform output length: decode windows stay full, so decode_tok_s is
+    # the steady-state full-batch rate (see examples/bench_air_slice.py)
+    sp = [SamplingParams(temperature=0.6, max_tokens=64, ignore_eos=True)
+          for _ in range(num_seqs)]
     warm = [rng.integers(4, 60000, size=len(p)).tolist() for p in prompts]
     llm.generate(warm, [SamplingParams(temperature=0.6, max_tokens=4,
                                        ignore_eos=True)] * num_seqs,
@@ -302,6 +304,13 @@ def bench_air_slice(peak_bw: float) -> dict:
     decode_time = max(m["decode_tokens"] / max(m["decode_tok_per_s"], 1e-9),
                       1e-9)
     hbm_util = pbytes * micro_steps / decode_time / peak_bw
+    # ... and against the chip's MEASURED streaming ceiling: the same
+    # BlockSpec weight pipeline tops out at 572 GB/s with all compute
+    # stripped (NVT_DEBUG_NK1 microbench, BENCHMARKS.md), so that is the
+    # realizable roofline for this access pattern, not the 819 nominal
+    practical_bw = float(os.environ.get("BENCH_HBM_PRACTICAL_GBPS",
+                                        "572")) * 1e9
+    hbm_util_practical = pbytes * micro_steps / decode_time / practical_bw
     del llm
     return {
         "config": f"glm45-air-slice {layers}L INT4 "
@@ -312,6 +321,7 @@ def bench_air_slice(peak_bw: float) -> dict:
         "fresh_prefill_tok_s": round(m["prefill_tok_per_s"], 1),
         "ttft_p50_s": round(m["ttft_p50_s"], 3),
         "decode_hbm_bw_util": round(hbm_util, 3),
+        "decode_hbm_bw_util_practical": round(hbm_util_practical, 3),
     }
 
 

@@ -235,8 +235,10 @@ def use_sorted_fused(num_tokens: int, w_gate) -> bool:
     e = _num_experts(w_gate)
     te_min = int(os.environ.get("NVT_SFUSED_TE_MIN", SORTED_FUSED_TE_MIN))
     if num_tokens > DENSE_MODE_MAX_TOKENS or num_tokens * e < te_min:
-        return False
-    if e <= 64:  # dense measured faster through T=512 at 7.6B widths
+        # below the T*E threshold dense mode's discarded MXU work is
+        # cheaper than the dispatch; above it (e.g. Air decode T=128
+        # E=128, or 7.6B 512-token prefill chunks at E=64) the sorted
+        # kernel wins
         return False
     if _fused_interpret():
         return True

@@ -65,25 +65,37 @@ def structure_params(params, seed: int = 0, outlier_frac: float = 0.005,
     rng = np.random.default_rng(seed)
     res_scale = (1.0 / np.sqrt(2.0 * num_layers)) if num_layers else 1.0
 
-    def mod(path, leaf):
-        name = _leaf_name(path)
-        if name not in _LINEAR_LEAVES or isinstance(leaf, dict):
-            return leaf
+    def mod(name, leaf):
         k, m = leaf.shape[-2], leaf.shape[-1]
         col = rng.lognormal(0.0, sigma, size=m).astype(np.float32)
         out = rng.random(m) < outlier_frac
         col[out] *= outlier_scale
         row = rng.lognormal(0.0, sigma / 2, size=k).astype(np.float32)
-        # device-side multiply: only the tiny modulation vectors cross the
-        # host boundary (pulling multi-GB stacks to numpy and back took
-        # ~30 min over the remote-chip tunnel)
-        w = leaf.astype(jax.numpy.float32) * jax.numpy.asarray(col)
-        w = w * jax.numpy.asarray(row)[:, None]
         if name in _RESIDUAL_OUT_LEAVES:
-            w = w * res_scale
-        return w.astype(leaf.dtype)
+            row *= res_scale
+        # device-side multiply in the leaf dtype: only the tiny modulation
+        # vectors cross the host boundary (pulling multi-GB stacks to
+        # numpy and back took ~30 min over the remote-chip tunnel, and an
+        # f32 upcast of the biggest stacks spikes HBM past the chip)
+        w = leaf * jax.numpy.asarray(col, leaf.dtype)
+        return w * jax.numpy.asarray(row, leaf.dtype)[:, None]
 
-    return jax.tree_util.tree_map_with_path(mod, params)
+    def walk(node):
+        # mutate dicts in place so the old leaf is freed as soon as it is
+        # replaced (a tree_map holds old + new trees concurrently — 2x the
+        # model in HBM), and block per leaf so async dispatch can't keep
+        # every intermediate alive at once
+        for key, v in list(node.items()):
+            if isinstance(v, dict):
+                if key in _LINEAR_LEAVES:  # quant dict: leave as-is
+                    continue
+                walk(v)
+            elif key in _LINEAR_LEAVES:
+                node[key] = jax.block_until_ready(mod(key, v))
+        return node
+
+    assert isinstance(params, dict)
+    return walk(params)
 
 
 def quantize_params(model_q, params_fp):
