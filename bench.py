@@ -203,9 +203,18 @@ def main():
     # the weight-streaming-bound Air-slice decode. Run it in-process (the
     # chip allows one process) after freeing the toy model.
     if os.environ.get("BENCH_AIR", "1") != "0":
-        del llm
+        # jax.jit caches hold the runner's bound step methods (which
+        # reference params + KV caches) — clear them or the toy model's
+        # ~3 GB stays pinned and the 8.9 GB Air slice OOMs the chip
+        llm.model_runner.params = None
+        llm.model_runner.caches = None
+        del llm, outs
         import gc
 
+        gc.collect()
+        import jax
+
+        jax.clear_caches()
         gc.collect()
         try:
             result["air_slice_int4"] = bench_air_slice(peak_bw)

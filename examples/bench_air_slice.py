@@ -8,8 +8,11 @@ Air is 46 layers, BASELINE config 4 spreads it over a v5e-8 host via TP+EP).
 Reports decode tok/s, fresh-prefill tok/s and TTFT, like bench_prod.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_air_slice.py
-Env: AIR_LAYERS (default 10), AIR_NUM_SEQS (default 64), AIR_KV
-     (bfloat16 | float8_e4m3fn — fp8 doubles KV capacity per block).
+Env: AIR_LAYERS (default 8), AIR_NUM_SEQS (default 64), AIR_KV
+     (bfloat16 | float8_e4m3fn — fp8 halves KV bytes; ~1.6x decode on
+     v5e, see BENCHMARKS.md), AIR_BS (block size, default 32),
+     AIR_OUT_TOKENS (uniform output length, default 64), AIR_PA_CHUNK
+     (decode attention chunk, default 512).
 """
 
 import json
