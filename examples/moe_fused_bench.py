@@ -77,7 +77,38 @@ wc_np = np.zeros((T, E), np.float32)
 np.put_along_axis(wc_np, sel, 1.0 / K_TOP, axis=1)
 wc = jnp.asarray(wc_np)
 
-if MODE == "sfused":
+if MODE in ("fd", "fd_ep"):
+    from glm4_moe_nano_vllm_tpu.ops.moe_fd_pallas import moe_fused_dispatch
+
+    if MODE == "fd_ep":
+        # EP-shard proxy: the E experts here are one chip's LOCAL shard of
+        # a larger global expert set (MB_EP_GLOBAL, default 128); tokens
+        # route over the global set, so only ~T*K*E/E_global assignments
+        # hit this shard — the rest are sentinels with weight 0
+        e_glob = int(os.environ.get("MB_EP_GLOBAL", 128))
+        sel_g = rng.permuted(np.tile(np.arange(e_glob), (T, 1)),
+                             axis=1)[:, :K_TOP]
+        local = sel_g < E
+        topk_idx = jnp.asarray(np.where(local, sel_g, E), jnp.int32)
+        topk_w = jnp.asarray(
+            np.where(local, 1.0 / K_TOP, 0.0).astype(np.float32))
+        exp_rows = max(1, T * K_TOP * E // e_glob)
+    else:
+        topk_idx = jnp.asarray(sel, jnp.int32)
+        topk_w = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
+        exp_rows = None
+
+    @jax.jit
+    def run(x, wg, wu, wd, wc):
+        def body(x, li):
+            o = moe_fused_dispatch(x, topk_idx, topk_w, wg, wu, wd,
+                                   layer_idx=li % L,
+                                   expected_rows=exp_rows)
+            return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(REPS, dtype=jnp.int32))
+        return jnp.sum(x.astype(jnp.float32))
+elif MODE == "sfused":
     from glm4_moe_nano_vllm_tpu.ops.moe_sorted_fused_pallas import (
         moe_sorted_fused,
     )

@@ -269,12 +269,18 @@ class Glm4MoeForCausalLM:
                 num_mb=self.pp_microbatches,
             )
         else:
-            from glm4_moe_nano_vllm_tpu.ops.moe import can_fuse_dense
+            from glm4_moe_nano_vllm_tpu.ops.moe import (
+                can_fuse_dense,
+                use_fused_dispatch,
+            )
 
             expert_keys = ("expert_gate", "expert_up", "expert_down")
             num_tokens = x.shape[0] * x.shape[1]
-            if not self.moe_ep and can_fuse_dense(
-                    num_tokens, params["moe_layers"]["expert_gate"]):
+            eg = params["moe_layers"]["expert_gate"]
+            if not self.moe_ep and (
+                    use_fused_dispatch(num_tokens, eg,
+                                       cfg.num_experts_per_tok)
+                    or can_fuse_dense(num_tokens, eg)):
                 # shared expert rides the fused kernel too (weight 1.0);
                 # under EP the shared expert stays Im-sharded outside the
                 # E-sharded shard_map region

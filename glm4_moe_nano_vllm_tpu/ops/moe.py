@@ -213,6 +213,39 @@ def can_fuse_dense(num_tokens: int, w_gate) -> bool:
     return _use_pallas_gmm(int4="zp" in w_gate)
 
 
+# Resident-VMEM budget for the fused-dispatch kernel's sel/selw/x/out
+# operands: above it (large-T prefill chunks) the dispatch matrices stop
+# fitting next to the double-buffered expert weights and the sorted or
+# dense paths serve the call instead.
+FD_VMEM_MAX_BYTES = 24 << 20
+
+
+def use_fused_dispatch(num_tokens: int, w_gate, k: int = 8,
+                       expected_rows: int | None = None) -> bool:
+    """True when the fully-fused dispatch kernel (ops/moe_fd_pallas.py —
+    in-VMEM gather/combine, only routed rows computed) serves this MoE
+    call: quantized weights, decode-scale token count, TPU backend."""
+    import os
+
+    if not isinstance(w_gate, dict):
+        return False
+    if os.environ.get("NVT_NO_FD_MOE"):
+        return False
+    from glm4_moe_nano_vllm_tpu.ops.moe_fd_pallas import fd_vmem_bytes
+
+    e = _num_experts(w_gate)
+    arr = w_gate["qw"]
+    h = arr.shape[-2] * (2 if "zp" in w_gate else 1)  # packed K rows
+    budget = int(os.environ.get("NVT_FD_VMEM_MAX", FD_VMEM_MAX_BYTES))
+    if fd_vmem_bytes(num_tokens, k, e, h, expected_rows) > budget:
+        return False
+    if _fused_interpret():
+        return True
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import _use_pallas_gmm
+
+    return _use_pallas_gmm(int4="zp" in w_gate)
+
+
 # Above this T*E product the fused sorted-dispatch kernel
 # (ops/moe_sorted_fused_pallas.py) replaces dense mode: dense streams every
 # expert's weight tiles through the MXU with T rows (~567 GFLOP of mostly
@@ -271,6 +304,17 @@ def moe_experts(
     from glm4_moe_nano_vllm_tpu.ops.quant_matmul import use_gmm2
 
     stacked = False  # weights still carry their [L, ...] layer dim
+    if isinstance(w_gate, dict) and use_fused_dispatch(
+            x.shape[0], w_gate, topk_idx.shape[1]):
+        from glm4_moe_nano_vllm_tpu.ops.moe_fd_pallas import (
+            moe_fused_dispatch,
+        )
+
+        return moe_fused_dispatch(
+            x, topk_idx, topk_w, w_gate, w_up, w_down,
+            layer_idx=layer_idx, shared=shared, quant_group=quant_group,
+            interpret=bool(_fused_interpret()),
+        )
     if layer_idx is not None:
         if can_fuse_dense(x.shape[0], w_gate):
             from glm4_moe_nano_vllm_tpu.ops.moe_dense_fused_pallas import (
@@ -463,6 +507,29 @@ def moe_experts_ep(
         tk = t * k
         r = jax.lax.axis_index(axis)
         lo = r * e_local
+        # expected locally-routed assignments: ~T*K/n (sizes the kernel's
+        # row-chunk tile; the padded layout still absorbs any skew)
+        exp_rows = max(1, tk // n)
+        if use_fused_dispatch(t, wg, k, expected_rows=exp_rows):
+            # fused-dispatch kernel over the LOCAL expert shard: computes
+            # only the ~T*K/n locally routed rows (the dense kernel's
+            # all-tokens-by-all-local-experts form is MXU-bound at small
+            # E/n shards — measured 0.743 ms/layer = ~201 GB/s effective
+            # for a 136 MiB Air shard stream, ARCHITECTURE.md)
+            from glm4_moe_nano_vllm_tpu.ops.moe_fd_pallas import (
+                moe_fused_dispatch,
+            )
+
+            local = (topk_idx >= lo) & (topk_idx < lo + e_local)
+            idx_l = jnp.where(local, topk_idx - lo, e_local)  # sentinel = E/n
+            w_l = jnp.where(local, topk_w, 0.0)
+            part = moe_fused_dispatch(
+                x, idx_l, w_l, wg, wu, wd,
+                layer_idx=layer_idx if stacked else None,
+                quant_group=quant_group, expected_rows=exp_rows,
+                interpret=bool(_fused_interpret()),
+            )
+            return jax.lax.psum(part, axis)
         if dense_mode_ok(t, e_local):
             w_dense = _dense_weights(topk_idx, topk_w, t, e)
             w_local = jax.lax.dynamic_slice(w_dense, (0, lo), (t, e_local))
