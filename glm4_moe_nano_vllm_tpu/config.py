@@ -188,7 +188,9 @@ class Config:
     # optimal there.
     ep_dispatch: str = "auto"
     dtype: str = "bfloat16"
-    kv_cache_dtype: str = "bfloat16"  # or "float8_e4m3fn"
+    kv_cache_dtype: str = "bfloat16"  # or "int8" / "float8_e4m3fn" (halved
+    # KV bytes + per-row scale planes; int8 converts natively on v5e — fp8
+    # e4m3 measured 1.6x decode cost from its element-wise convert)
     enable_prefix_caching: bool = True
     enable_chunked_prefill: bool = True
     prefill_chunk_size: int = 4096  # max new tokens prefilled per step per seq

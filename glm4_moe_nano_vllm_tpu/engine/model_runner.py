@@ -42,6 +42,7 @@ _DTYPES = {
     "float32": jnp.float32,
     "float16": jnp.float16,
     "float8_e4m3fn": jnp.float8_e4m3fn,
+    "int8": jnp.int8,  # scaled KV cache with native v5e int8->f32 convert
 }
 
 
@@ -253,9 +254,12 @@ class ModelRunner:
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         bs = self.config.kvcache_block_size
         per_block = bs * mc.head_dim * itemsize
-        if self.kv_dtype == jnp.float8_e4m3fn:
-            from glm4_moe_nano_vllm_tpu.ops.kv_cache import scale_lanes
+        from glm4_moe_nano_vllm_tpu.ops.kv_cache import (
+            SCALED_KV_QMAX,
+            scale_lanes,
+        )
 
+        if jnp.dtype(self.kv_dtype) in SCALED_KV_QMAX:
             per_block += scale_lanes(bs) * 4  # f32 scale plane per block
         return 2 * mc.num_layers * mc.num_kv_heads * per_block
 

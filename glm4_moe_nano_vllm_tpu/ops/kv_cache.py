@@ -23,14 +23,24 @@ and the kernels are layout-agnostic (they only chase block-table values).
 import jax
 import jax.numpy as jnp
 
-# FP8 (e4m3) KV storage is scaled per (token-row, head): a cache leaf becomes
-# {"data": e4m3 [H, NB, bs, D], "scale": f32 [H, NB, bs]}. Per-row scales are
-# write-incremental (a block filling over several steps never needs its old
-# rows re-quantized — a true per-block scale would) and strictly tighter than
-# per-block. Dequant folds into the attention math: scores *= k_scale_row and
-# p *= v_scale_row, so fp8 data is never materialized as bf16 tiles
-# (SURVEY §7 plan: "e4m3 + per-block scale", refined).
+# Quantized (fp8-e4m3 or int8) KV storage is scaled per (token-row, head): a
+# cache leaf becomes {"data": e4m3/i8 [H, NB, bs, D], "scale": f32
+# [H, NB, bs]}. Per-row scales are write-incremental (a block filling over
+# several steps never needs its old rows re-quantized — a true per-block
+# scale would) and strictly tighter than per-block. Dequant folds into the
+# attention math: scores *= k_scale_row and p *= v_scale_row, so quantized
+# data is never materialized as bf16 tiles (SURVEY §7 plan: "e4m3 +
+# per-block scale", refined). INT8 exists because v5e has a native int8->f32
+# vector convert while e4m3->f32 does not (fp8 decode measured 1.6x bf16,
+# BENCHMARKS.md round-3): same capacity halving, near-native decode cost.
 FP8_MAX = 448.0  # float8_e4m3fn finite max
+INT8_MAX = 127.0
+
+# dtype -> per-row quantization ceiling for scaled KV caches
+SCALED_KV_QMAX = {
+    jnp.dtype(jnp.float8_e4m3fn): FP8_MAX,
+    jnp.dtype(jnp.int8): INT8_MAX,
+}
 
 
 def is_scaled_cache(cache) -> bool:
@@ -38,13 +48,13 @@ def is_scaled_cache(cache) -> bool:
 
 
 def make_kv_cache(shape, dtype):
-    """One cache leaf: a plain array, or a {data, scale} dict for fp8.
+    """One cache leaf: a plain array, or a {data, scale} dict for fp8/int8.
 
     Scales are [H, NB, 1, bs_pad]: the block dim must stay UNTILED (Mosaic
     can only DMA-slice untiled dims at dynamic offsets — same constraint as
     the data array, whose tiled pair is (bs, D)), and the lane dim is padded
     to the 128-lane tile (Mosaic rejects sub-tile lane slices)."""
-    if dtype == jnp.float8_e4m3fn:
+    if jnp.dtype(dtype) in SCALED_KV_QMAX:
         h, nb, bs, _ = shape
         return {
             "data": jnp.zeros(shape, dtype),
@@ -58,12 +68,16 @@ def scale_lanes(bs: int) -> int:
     return -(-bs // 128) * 128
 
 
-def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[T, H, D] → (e4m3 values, f32 scales [T, H])."""
+def quantize_kv_rows(x: jax.Array, dtype=jnp.float8_e4m3fn
+                     ) -> tuple[jax.Array, jax.Array]:
+    """[T, H, D] → (e4m3/i8 values, f32 scales [T, H])."""
+    qmax = SCALED_KV_QMAX[jnp.dtype(dtype)]
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax / FP8_MAX, 1e-12)
-    q = (x.astype(jnp.float32) / scale[..., None]).astype(jnp.float8_e4m3fn)
-    return q, scale
+    scale = jnp.maximum(amax / qmax, 1e-12)
+    q = x.astype(jnp.float32) / scale[..., None]
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        q = jnp.clip(jnp.round(q), -INT8_MAX, INT8_MAX)
+    return q.astype(dtype), scale
 
 
 def write_kv(
@@ -74,8 +88,8 @@ def write_kv(
     slot_mapping: jax.Array,  # [T] int32; flat slot = block_id*block_size + off; -1 = skip
 ):
     if is_scaled_cache(k_cache):
-        kq, ks = quantize_kv_rows(k_new)
-        vq, vs = quantize_kv_rows(v_new)
+        kq, ks = quantize_kv_rows(k_new, k_cache["data"].dtype)
+        vq, vs = quantize_kv_rows(v_new, v_cache["data"].dtype)
         nb, bs = k_cache["data"].shape[1], k_cache["data"].shape[2]
         invalid = slot_mapping < 0
         bidx = jnp.where(invalid, nb, slot_mapping // bs)

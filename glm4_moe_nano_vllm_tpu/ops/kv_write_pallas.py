@@ -181,8 +181,8 @@ def write_kv_pallas(
     scaled = is_scaled_cache(k_cache)
     if scaled:
         kc_arr, vc_arr = k_cache["data"], v_cache["data"]
-        k_new, ks_new = quantize_kv_rows(k_new)
-        v_new, vs_new = quantize_kv_rows(v_new)
+        k_new, ks_new = quantize_kv_rows(k_new, k_cache["data"].dtype)
+        v_new, vs_new = quantize_kv_rows(v_new, v_cache["data"].dtype)
     else:
         kc_arr, vc_arr = k_cache, v_cache
     h, nb, bs, d = kc_arr.shape

@@ -1,4 +1,4 @@
-"""FP8 paged KV cache + engine metrics tests."""
+"""Scaled (FP8 / INT8) paged KV cache + engine metrics tests."""
 
 import numpy as np
 
@@ -25,12 +25,16 @@ def make_engine(kv_dtype="float32", **kw):
     return LLMEngine(**defaults)
 
 
-def test_fp8_kv_cache_generates_and_tracks_fp32():
+import pytest
+
+
+@pytest.mark.parametrize("kvd", ["float8_e4m3fn", "int8"])
+def test_scaled_kv_cache_generates_and_tracks_fp32(kvd):
     import jax.numpy as jnp
 
-    e8 = make_engine("float8_e4m3fn")
-    # fp8 caches are {data, scale} dicts with per-row scales
-    assert e8.model_runner.caches["k"]["data"].dtype == jnp.float8_e4m3fn
+    e8 = make_engine(kvd)
+    # scaled caches are {data, scale} dicts with per-row scales
+    assert e8.model_runner.caches["k"]["data"].dtype == jnp.dtype(kvd)
     assert e8.model_runner.caches["k"]["scale"].dtype == jnp.float32
     e32 = make_engine("float32")
     prompts = [[1, 2, 3, 4, 5, 6, 7, 8]]
@@ -71,7 +75,9 @@ def _rand_kv(rng, t, h, d, spread=True):
     return jnp.asarray(x)
 
 
-def test_fp8_write_gather_roundtrip_accuracy():
+@pytest.mark.parametrize("kvd,rtol", [("float8_e4m3fn", 0.13),
+                                      ("int8", None)])
+def test_scaled_write_gather_roundtrip_accuracy(kvd, rtol):
     import jax.numpy as jnp
 
     from glm4_moe_nano_vllm_tpu.ops.kv_cache import (
@@ -82,8 +88,8 @@ def test_fp8_write_gather_roundtrip_accuracy():
 
     rng = np.random.default_rng(0)
     h, nb, bs, d, t = 2, 8, 16, 32, 24
-    kc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
-    vc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
+    kc = make_kv_cache((h, nb, bs, d), jnp.dtype(kvd))
+    vc = make_kv_cache((h, nb, bs, d), jnp.dtype(kvd))
     k = _rand_kv(rng, t, h, d)
     v = _rand_kv(rng, t, h, d)
     slots = jnp.asarray(np.arange(t, dtype=np.int32))  # blocks 0..1
@@ -92,16 +98,29 @@ def test_fp8_write_gather_roundtrip_accuracy():
     kg, vg = gather_kv(kc, vc, bt)  # [H, 1, nb*bs, D]
     got = np.asarray(kg[:, 0, :t]).transpose(1, 0, 2)
     want = np.asarray(k, np.float32)
-    # e4m3 relative error <= 2^-3 per element after per-row scaling
-    np.testing.assert_allclose(got, want, rtol=0.13, atol=1e-9)
-    # a direct (unscaled) cast would flush the small rows to ~0; check the
+    if rtol is not None:
+        # e4m3: RELATIVE error <= 2^-3 per element after per-row scaling
+        # (subnormals keep small within-row elements alive)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-9)
+    else:
+        # int8: ABSOLUTE error <= amax_row/254 per element (uniform steps —
+        # tighter than e4m3 near amax, but within-row elements below half a
+        # step round to 0, so a relative bound cannot hold)
+        amax = np.abs(want).max(axis=-1, keepdims=True)
+        assert np.all(np.abs(got - want) <= amax / 254 + 1e-12)
+    # a direct (unscaled) cast would flush the small ROWS to ~0; check the
     # smallest-magnitude row survived with fidelity
     mags = np.abs(want).max(axis=(1, 2))
     r = int(np.argmin(mags))
-    np.testing.assert_allclose(got[r], want[r], rtol=0.13, atol=1e-12)
+    if rtol is not None:
+        np.testing.assert_allclose(got[r], want[r], rtol=rtol, atol=1e-12)
+    else:
+        amax_r = np.abs(want[r]).max(axis=-1, keepdims=True)
+        assert np.all(np.abs(got[r] - want[r]) <= amax_r / 254 + 1e-30)
 
 
-def test_fp8_write_kv_pallas_matches_xla():
+@pytest.mark.parametrize("kvd", ["float8_e4m3fn", "int8"])
+def test_scaled_write_kv_pallas_matches_xla(kvd):
     import jax.numpy as jnp
 
     from glm4_moe_nano_vllm_tpu.ops.kv_cache import make_kv_cache, write_kv
@@ -121,8 +140,8 @@ def test_fp8_write_kv_pallas_matches_xla():
         2 * bs + np.arange(16, dtype=np.int32),   # block 2 rows 0-15
     ]))
 
-    mk = lambda: (make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn),
-                  make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn))
+    mk = lambda: (make_kv_cache((h, nb, bs, d), jnp.dtype(kvd)),
+                  make_kv_cache((h, nb, bs, d), jnp.dtype(kvd)))
     kc1, vc1 = write_kv(*mk(), k, v, slots)
     kc2, vc2 = write_kv_pallas(*mk(), k, v, bt, pos0, ctx, interpret=True)
     for a, b_ in ((kc1, kc2), (vc1, vc2)):
@@ -133,12 +152,10 @@ def test_fp8_write_kv_pallas_matches_xla():
                                    np.asarray(b_["scale"]), rtol=1e-6)
 
 
-import pytest
-
-
+@pytest.mark.parametrize("kvd", ["float8_e4m3fn", "int8"])
 @pytest.mark.parametrize("bs", [128, 32])
-def test_fp8_pallas_attention_kernels_match_ref(bs):
-    """Decode + prefill Pallas kernels (interpret mode) on an fp8 cache ==
+def test_scaled_pallas_attention_kernels_match_ref(bs, kvd):
+    """Decode + prefill Pallas kernels (interpret mode) on a scaled cache ==
     the XLA oracle reading the same quantized cache. bs=32 pins the
     round-3 any-block-size path (scale pages land one per sublane); the
     round-2 kernel required bs % 128 == 0."""
@@ -153,8 +170,8 @@ def test_fp8_pallas_attention_kernels_match_ref(bs):
 
     rng = np.random.default_rng(2)
     h, nb, d, g = 2, 8, 128, 2
-    kc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
-    vc = make_kv_cache((h, nb, bs, d), jnp.float8_e4m3fn)
+    kc = make_kv_cache((h, nb, bs, d), jnp.dtype(kvd))
+    vc = make_kv_cache((h, nb, bs, d), jnp.dtype(kvd))
     # seq 0: 20 ctx tokens in blocks 0-1; seq 1: 9 tokens in block 2
     k = _rand_kv(rng, 29, h, d)
     v = _rand_kv(rng, 29, h, d)
@@ -183,5 +200,7 @@ def test_fp8_pallas_attention_kernels_match_ref(bs):
                                sm_scale=0.11)
     got = paged_prefill(qp, kc, vc, bt, ctx, q_lens, sm_scale=0.11,
                         interpret=True)
+    # both sides read the SAME quantized cache; the bound is float-ordering
+    # noise only (int8 at bs=32 lands one element at 2e-4 relative)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=5e-4, atol=5e-4)
