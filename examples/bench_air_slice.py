@@ -81,7 +81,7 @@ def main():
         prefill_len_buckets=(32, 64, 128),
         dtype="bfloat16",
         kv_cache_dtype=kv,
-        num_scheduler_steps=32,
+        num_scheduler_steps=int(os.environ.get("AIR_STEPS", "64")),
         pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "512")),
     )
 

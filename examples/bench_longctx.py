@@ -7,7 +7,10 @@ chunked prefill and defaults to max_model_len 4096 (`config.py:11`,
 SURVEY §5 "long-context: absent").
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_longctx.py
-Env: LC_NUM_SEQS (default 2), LC_PROMPT (default 32000), LC_OUT (default 64).
+Env: LC_NUM_SEQS (default 2), LC_PROMPT (default 32000), LC_OUT (default 64),
+     LC_KV (bfloat16 | int8 | float8_e4m3fn), LC_MIXED=1 (capacity demo:
+     LC_NUM_SEQS prompts with mixed lengths 8K..LC_PROMPT — the workload the
+     halved-KV cache dtypes exist for; KV bytes are reported).
 """
 
 import os
@@ -55,7 +58,14 @@ def main():
     n = int(os.environ.get("LC_NUM_SEQS", 2))
     plen = int(os.environ.get("LC_PROMPT", 32000))
     out = int(os.environ.get("LC_OUT", 64))
-    blocks = (plen + out + 255) // 256 + 2
+    mixed = os.environ.get("LC_MIXED", "0") == "1"
+    rng = np.random.default_rng(0)
+    if mixed:
+        lens = sorted(int(x) for x in
+                      rng.integers(8192, plen + 1, size=n))
+    else:
+        lens = [plen] * n
+    blocks = sum((ln + out + 255) // 256 + 2 for ln in lens) // n + 1
 
     llm = LLM(
         model="",
@@ -71,18 +81,17 @@ def main():
         prefill_seq_buckets=(1, n),
         prefill_len_buckets=(2048, 8192),
         dtype="bfloat16",
-        kv_cache_dtype="bfloat16",
-        num_scheduler_steps=16,
+        kv_cache_dtype=os.environ.get("LC_KV", "bfloat16"),
+        num_scheduler_steps=int(os.environ.get("LC_STEPS", "16")),
     )
 
-    rng = np.random.default_rng(0)
-    prompts = [rng.integers(4, 60000, size=plen).tolist() for _ in range(n)]
+    prompts = [rng.integers(4, 60000, size=ln).tolist() for ln in lens]
     sp = [SamplingParams(temperature=0.6, max_tokens=out, ignore_eos=True)
           for _ in range(n)]
 
     # warmup compiles the chunk ladder (same shapes the timed run uses —
     # different prompts so nothing prefix-cache-hits in the timed run)
-    warm = [rng.integers(4, 60000, size=plen).tolist() for _ in range(n)]
+    warm = [rng.integers(4, 60000, size=ln).tolist() for ln in lens]
     llm.generate(warm, [SamplingParams(temperature=0.6, max_tokens=4,
                                        ignore_eos=True)] * n, use_tqdm=False)
     llm.metrics.reset()
@@ -93,10 +102,23 @@ def main():
     total_out = sum(len(o["token_ids"]) for o in outs)
     m = {k: round(v, 2) if isinstance(v, float) else v
          for k, v in llm.metrics.summary().items()}
-    print(f"longctx[{plen} tok x {n}]: {total_out} tokens in {elapsed:.1f}s, "
-          f"metrics={m}", file=sys.stderr)
-    print(f"prefill_tok_per_s={m['prefill_tok_per_s']} "
-          f"ttft_p50_s={m['ttft_p50_s']} decode_tok_per_s={m['decode_tok_per_s']}")
+    import jax as _jax
+
+    def _kv_bytes(c):
+        return sum(x.nbytes for x in _jax.tree.leaves(c))
+
+    kvb = _kv_bytes(llm.model_runner.caches)
+    print(f"longctx[{lens if mixed else f'{plen} tok x {n}'}]: {total_out} "
+          f"tokens in {elapsed:.1f}s, metrics={m}", file=sys.stderr)
+    import json
+    print(json.dumps({
+        "num_seqs": n, "prompt_tokens": sum(lens),
+        "kv_cache_dtype": llm.config.kv_cache_dtype,
+        "kv_cache_bytes_mib": kvb >> 20,
+        "prefill_tok_s": m["prefill_tok_per_s"],
+        "ttft_p50_s": m["ttft_p50_s"],
+        "decode_tok_s": m["decode_tok_per_s"],
+    }))
 
 
 if __name__ == "__main__":

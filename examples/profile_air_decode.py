@@ -67,7 +67,7 @@ def main():
         prefill_len_buckets=(32, 64, 128),
         dtype="bfloat16",
         kv_cache_dtype=os.environ.get("AIR_KV", "bfloat16"),
-        num_scheduler_steps=32,
+        num_scheduler_steps=64,
         pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "512")),
     )
     t0 = time.perf_counter()
@@ -76,32 +76,34 @@ def main():
     print(f"# runner ready {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.6, max_tokens=256, ignore_eos=True)
+    sp = SamplingParams(temperature=0.6, max_tokens=384, ignore_eos=True)
     for _ in range(num_seqs):
         sched.add(Sequence(
             rng.integers(4, 60000, size=int(rng.integers(48, 128))).tolist(),
             sp, block_size=cfg.kvcache_block_size))
 
-    # prefill + a few decode windows (compiles happen here)
-    steps = 0
-    while not sched.is_finished() and steps < 8:
+    # prefill (however many steps admission takes) + ONE decode window:
+    # compiles happen here, and the traced loop below sees pure decode
+    decoded_windows = 0
+    while not sched.is_finished() and decoded_windows < 1:
         batch = sched.schedule()
+        if not batch.is_prefill:
+            decoded_windows += 1
         sched.postprocess(batch, runner.run(batch))
-        steps += 1
     print(f"# warm at {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     prof_dir = os.environ.get("PROF_DIR", "/tmp/air_prof")
     jax.profiler.start_trace(prof_dir)
     t1 = time.perf_counter()
     decoded = 0
-    for _ in range(3):
+    for _ in range(2):
         batch = sched.schedule()
-        assert not batch.is_prefill
+        assert batch is not None and not batch.is_prefill
         sched.postprocess(batch, runner.run(batch))
         decoded += batch.num_tokens
     dt = time.perf_counter() - t1
     jax.profiler.stop_trace()
-    print(f"# traced 3 decode windows: {decoded} tok in {dt:.3f}s -> "
+    print(f"# traced decode windows: {decoded} tok in {dt:.3f}s -> "
           f"{decoded/dt:.0f} tok/s", file=sys.stderr)
 
     # ---- parse the xplane: top ops by self time --------------------------

@@ -54,7 +54,6 @@ from jax.experimental.pallas import tpu as pltpu
 from glm4_moe_nano_vllm_tpu.ops.moe_sorted_fused_pallas import (
     _group_rowsums,
     _proj_outscale,
-    sorted_fused_layout,
 )
 
 
@@ -277,26 +276,57 @@ def moe_fused_dispatch(x, topk_idx, topk_w, w_gate, w_up, w_down,
     li = 0 if layer_idx is None else layer_idx
     e = sets[0].shape[1]
 
-    flat_e = topk_idx.reshape(-1)
-    sort_i = jnp.argsort(flat_e)  # stable: expert-contiguous spans
-    # length e+1 so sentinel assignments (id == e) are counted but land
-    # past the last kernel-visible span
-    group_sizes = jnp.bincount(flat_e, length=e + 1)[:e].astype(jnp.int32)
+    # ---- scatter-free dispatch build ----------------------------------
+    # The sorted-layout build (argsort + bincount + three .at[dst].set
+    # scatters) cost ~0.47 ms/step at Air decode — XLA serializes small
+    # int scatters on TPU (profiled round 4, "fusion.327 bound=VMEM
+    # Write"). Everything below is dense compares / cumsums / row GATHERS,
+    # which vectorize. Row order within an expert is token-major, same as
+    # the stable argsort it replaces. Sentinel ids (== E) never match
+    # iota_e, so they drop out with no special-casing.
     tk = t * k
     tm = pick_tm_fd(t, k, e, expected_rows)
-    offs, dst, m_ext = sorted_fused_layout(group_sizes, tk, tm, e)
-    m_ext = -(-m_ext // tm) * tm  # sel block sublane alignment
     t_pad = -(-t // 8) * 8
+    m_ext = -(-(tk + e * tm) // tm) * tm  # static span bound (any skew)
 
-    src_tok = jnp.zeros((m_ext,), jnp.int32).at[dst].set(sort_i // k)
-    w_row = jnp.zeros((m_ext,), jnp.float32).at[dst].set(
-        jnp.take(topk_w.reshape(-1), sort_i)
+    iota_e = jnp.arange(e, dtype=topk_idx.dtype)
+    eye = topk_idx[:, :, None] == iota_e[None, None, :]  # [T, K, E]
+    assigned = jnp.any(eye, axis=1)  # [T, E] (expert ids distinct per row)
+    w_te = jnp.sum(jnp.where(eye, topk_w[:, :, None].astype(jnp.float32),
+                             0.0), axis=1)  # [T, E]
+    group_sizes = jnp.sum(assigned, axis=0, dtype=jnp.int32)  # [E]
+    # rank of token t within expert col e = # earlier assigned tokens
+    csum = jnp.cumsum(assigned.astype(jnp.int32), axis=0)
+    rank = csum - assigned.astype(jnp.int32)  # exclusive
+    spans = ((group_sizes + tm - 1) // tm) * tm
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(spans, dtype=jnp.int32)]
     )
-    valid = jnp.zeros((m_ext,), jnp.bool_).at[dst].set(True)
-    onehot = (src_tok[:, None] == jnp.arange(t_pad, dtype=jnp.int32)[None, :])
-    onehot = onehot & valid[:, None]
+    # per padded row r: which expert span owns it, via a dense interval
+    # compare (searchsorted profiled 196 us/layer serialized on TPU, and
+    # even [m_ext]-from-[E] gathers cost ~25 us/layer — everything below
+    # is vector compares + tiny one-hot matmuls instead)
+    iota_m = jnp.arange(m_ext, dtype=jnp.int32)[:, None]
+    oh_e = ((offs[:-1][None, :] <= iota_m)
+            & (iota_m < offs[1:][None, :]))  # [m_ext, E]; all-false past end
+    ohf = oh_e.astype(jnp.float32)
+    start_r = jnp.dot(ohf, offs[:-1].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)  # exact (one-hot)
+    c_r = iota_m[:, 0].astype(jnp.float32) - start_r  # slot within the span
+    # sel[r, t] = assigned[t, e_r] and rank[t, e_r] == c_r — realized as
+    # one-hot matmuls against the [T, E] routing matrices (values are small
+    # ints / weights; one-hot rows make every product exact in f32)
+    a_rows = jnp.dot(ohf, assigned.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)  # [m_ext, T]
+    r_rows = jnp.dot(ohf, rank.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    w_rows = jnp.dot(ohf, w_te.T, preferred_element_type=jnp.float32)
+    onehot = (a_rows > 0.5) & (r_rows == c_r[:, None])
+    if t_pad != t:
+        onehot = jnp.pad(onehot, ((0, 0), (0, t_pad - t)))
+        w_rows = jnp.pad(w_rows, ((0, 0), (0, t_pad - t)))
     sel = onehot.astype(x.dtype)  # one-hot gather operand (1.0 * x is exact)
-    selw = onehot.astype(jnp.float32) * w_row[:, None]
+    selw = onehot.astype(jnp.float32) * w_rows
 
     x_p = x if t == t_pad else jnp.pad(x, ((0, t_pad - t), (0, 0)))
     out = _fd_call(x_p, sel, selw, offs, li,

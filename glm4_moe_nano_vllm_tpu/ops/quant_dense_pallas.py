@@ -71,8 +71,15 @@ def _dense_call(x_p, li, *wset, quant_group: int | None = None,
     # N tile: biggest divisor of N <= 512 keeps the weight block ~<= 0.5 MB
     # (double-buffered) while amortizing per-step pipeline overhead; must be
     # lane-aligned (%128) unless it covers the whole dim (Mosaic block rule)
-    tn = next(d for d in range(min(n, 512), 0, -1)
-              if n % d == 0 and (d % 128 == 0 or d == n))
+    tn = next((d for d in range(min(n, 512), 0, -1)
+               if n % d == 0 and (d % 128 == 0 or d == n)), None)
+    if tn is None:
+        # no lane-aligned divisor (e.g. GLM-4.5-Air's dense-MLP N=10944):
+        # ragged last tile — lane j of tile i is column i*tn+j everywhere
+        # (q/zp/scale/out all indexed by N on the lane dim), so the padded
+        # lanes of the last block only ever produce the padded output lanes
+        # Mosaic masks on write
+        tn = min(512, -(-n // 128) * 128)
 
     in_specs = [pl.BlockSpec((b_pad, k), lambda i, li: (0, 0))]
     for w in wset:
@@ -81,7 +88,7 @@ def _dense_call(x_p, li, *wset, quant_group: int | None = None,
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // tn,),
+        grid=(-(-n // tn),),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b_pad, tn), lambda i, li: (0, i)),
     )

@@ -126,9 +126,9 @@ def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
     stacked = layer_idx is not None
     wdim = 3 if stacked else 2
     kq = qp["qw"].shape[-2] * (2 if "zp" in qp else 1)
+    lane_ok = qp["qw"].shape[-1] % 128 == 0  # N lane alignment
     aligned = (
         qp["qw"].ndim == wdim
-        and qp["qw"].shape[-1] % 128 == 0  # N lane alignment
         and x.shape[-1] == kq
         and not os.environ.get("NVT_FORCE_XLA_QUANT")
         and _on_tpu()
@@ -141,6 +141,10 @@ def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
         # dequant (wk/wv measured ~0.15 ms vs ~0.035 in-kernel per call at
         # Air widths)
         dense_min = (1 << 20) if stacked else (32 << 20)
+        # the dense kernel also serves lane-UNALIGNED N via a ragged last
+        # N tile (GLM-4.5-Air's dense-MLP N=10944: the XLA fallback's
+        # materialized 90 MB bf16 dequant measured ~0.3 ms/projection per
+        # decode step); the gmm kernels below still require N % 128
         if rows <= 256 and db > dense_min:
             # decode-shaped, big weight: whole lhs VMEM-resident, pipelined
             # weight-tile DMAs, one dequant per tile
@@ -157,7 +161,7 @@ def quant_matmul(x: jax.Array, qp: dict, layer_idx=None,
             qp = {k: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, False)
                   for k, v in qp.items()}
             stacked = False
-        if _use_pallas_gmm(int4="zp" in qp, dequant_bytes=db):
+        if lane_ok and _use_pallas_gmm(int4="zp" in qp, dequant_bytes=db):
             # many-row call too big for the XLA transient (~>1 GB)
             from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import (
                 quant_gmm,

@@ -227,4 +227,26 @@ def resolve_moe_parallel(cfg, tp: int, knob: str = "auto", pp: int = 1) -> bool:
     if knob == "ep":
         assert can_ep, (cfg.n_routed_experts, tp)
         return True
-    return knob == "auto" and can_ep
+    ep = knob == "auto" and can_ep
+    if not ep and cfg.quant is not None:
+        # im-mode shards experts on the Im dim: each chip holds an
+        # [*, Im/tp] slice. Grouped INT4/INT8 quantization packs scales and
+        # zero-points per G-wide column group of the DOWN projection's Im
+        # rows — an Im/tp that is not a multiple of G fractures the groups
+        # and no kernel (or loader repack) can serve the shard. Fail at
+        # config time with the fix, not via a deep quantize_awq assert
+        # (VERDICT r3 item 9; measured A/B in ARCHITECTURE.md says EP is
+        # also faster whenever it is available).
+        g = cfg.quant.group_size
+        im = cfg.moe_intermediate_size
+        if im % tp != 0 or (im // tp) % g != 0:
+            raise ValueError(
+                f"moe_parallel='{knob}' resolves to intermediate-dim expert "
+                f"sharding, but Im={im} over tp={tp} gives a per-chip shard "
+                f"of {im / tp:g} rows, which fractures the {g}-wide "
+                f"quantization groups of the packed expert weights. Use "
+                f"moe_parallel='ep' (requires E % tp == 0; "
+                f"E={cfg.n_routed_experts}), a tp that divides Im into "
+                f"multiples of {g}, or unquantized experts."
+            )
+    return ep

@@ -407,3 +407,31 @@ def test_quant_gather_rows_transposed_matches_straight():
     want = quant_gather_rows(qp, ids, jnp.float32)
     got = quant_gather_rows_t(transpose_quant_dict(qp), ids, jnp.float32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quant_dense_matmul_ragged_n():
+    """N with no 128-aligned divisor (GLM-4.5-Air dense MLP N=10944 shape
+    class): the dense kernel pads the last N tile; output must match the
+    XLA dequant path exactly on the real columns."""
+    import jax.numpy as jnp
+
+    from glm4_moe_nano_vllm_tpu.ops import quant
+    from glm4_moe_nano_vllm_tpu.ops.quant_dense_pallas import (
+        quant_dense_matmul,
+    )
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+
+    rng = np.random.default_rng(7)
+    k, n = 256, 576  # 576 % 128 != 0 and no aligned divisor <= 512
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    qw, qz, sc = quant.quantize_awq(w, 64)
+    qw2, zp2, sc2 = quant.repack_awq_for_tpu(qw, qz, sc)
+    qp = {"qw": jnp.asarray(qw2), "zp": jnp.asarray(zp2),
+          "scale": jnp.asarray(sc2)}
+    x = jnp.asarray(rng.normal(size=(13, k)), jnp.bfloat16)
+    got = quant_dense_matmul(x, qp, interpret=True)
+    want = jnp.dot(x, dequantize(qp, jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.03, atol=0.03)

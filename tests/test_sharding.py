@@ -182,3 +182,35 @@ def test_ep_a2a_engine_matches_single_device(dp, tp):
     assert r2.model.moe_ep and r2.model.ep_dispatch == "a2a"
     sharded = greedy_tokens(r2, s2, prompts)
     assert base == sharded
+
+
+def test_im_mode_quant_group_fracture_rejected_at_config_time():
+    """Forcing moe_parallel='im' (or auto resolving to it) with INT4 experts
+    whose Im/tp fractures the quant group must fail with a clear config-time
+    error, not a deep loader assert (VERDICT r3 item 9)."""
+    import pytest
+
+    from glm4_moe_nano_vllm_tpu.config import ModelConfig, QuantConfig
+    from glm4_moe_nano_vllm_tpu.parallel.sharding import resolve_moe_parallel
+
+    mc = ModelConfig(
+        architecture="glm4_moe", vocab_size=1024, hidden_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        intermediate_size=512, max_position_embeddings=1024,
+        tie_word_embeddings=True, eos_token_id=0,
+        n_routed_experts=12, num_experts_per_tok=2,
+        moe_intermediate_size=1408, n_shared_experts=1,
+        first_k_dense_replace=1,
+        quant=QuantConfig(method="awq", bits=4, group_size=128),
+    )
+    # E=12 does not divide tp=8 -> auto resolves to im; Im/8=176 fractures
+    # the 128-wide groups (the GLM-4.5-Air geometry from ARCHITECTURE.md)
+    with pytest.raises(ValueError, match="fractures"):
+        resolve_moe_parallel(mc, tp=8, knob="auto")
+    with pytest.raises(ValueError, match="fractures"):
+        resolve_moe_parallel(mc, tp=8, knob="im")
+    # E % tp == 0: auto picks EP and the knob is fine
+    assert resolve_moe_parallel(mc, tp=4, knob="auto") is True
+    # unquantized experts may shard Im freely
+    mc2 = ModelConfig(**{**mc.__dict__, "quant": None})
+    assert resolve_moe_parallel(mc2, tp=8, knob="im") is False
