@@ -73,7 +73,7 @@ def main():
         max_num_batched_tokens=4096,
         max_model_len=512,
         kvcache_block_size=bs,
-        num_kvcache_blocks=num_seqs * (512 // bs),
+        num_kvcache_blocks=num_seqs * (int(os.environ.get("AIR_BLK_TOK", "512")) // bs),
         prefill_chunk_size=512,
         enforce_eager=True,
         decode_buckets=(num_seqs,),

@@ -59,9 +59,12 @@ def main():
         model_config=mc,
         max_num_seqs=num_seqs,
         max_num_batched_tokens=8192,
-        max_model_len=512,
+        max_model_len=256,
         kvcache_block_size=32,
-        num_kvcache_blocks=num_seqs * 16,
+        # 36 layers x 8 kv heads: KV is the HBM pressure here (131 KB per
+        # block across the layer-flat stack) — 8 blocks/seq covers the
+        # 128-in + 64-out workload in ~4.8 GB next to ~8.6 GB of weights
+        num_kvcache_blocks=num_seqs * int(os.environ.get("Q8B_BLK", "8")),
         prefill_chunk_size=1024,
         enforce_eager=True,
         decode_buckets=(num_seqs,),

@@ -83,7 +83,10 @@ def _proj_outscale(x, qw_ref, zp_ref, sc_ref, kt: int, nk: int,
     for g in range(nk):
         if int4:
             w32 = qw_ref[g * half:(g + 1) * half, :].astype(jnp.int32)
-            # Mosaic has no direct u8/i32 -> bf16 cast; go through f32
+            # Mosaic has no direct u8/i32 -> bf16 cast; go through f32.
+            # (Masking in the packed u8 domain first — 4x lanes per VPU
+            # op — was tried round 4: Mosaic has no u8 -> f32 cast either,
+            # so the widen cannot be deferred past the mask.)
             lo = (w32 & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
             hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
             if _sf_merge():

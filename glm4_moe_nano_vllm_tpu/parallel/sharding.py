@@ -228,7 +228,21 @@ def resolve_moe_parallel(cfg, tp: int, knob: str = "auto", pp: int = 1) -> bool:
         assert can_ep, (cfg.n_routed_experts, tp)
         return True
     ep = knob == "auto" and can_ep
-    if not ep and cfg.quant is not None:
+    import os
+
+    strict = os.environ.get("NVT_STRICT_QUANT_SHARDING")
+    if strict is None:
+        # the GSPMD XLA-dequant fallback CAN serve a group-fractured im
+        # shard (scales replicate logically), so only reject where the
+        # packed Pallas kernels would engage — a TPU backend. CPU test
+        # meshes keep exercising im-mode GSPMD sharding.
+        try:
+            strict = jax.default_backend() == "tpu"
+        except Exception:
+            strict = False
+    else:
+        strict = strict != "0"
+    if not ep and strict and cfg.quant is not None:
         # im-mode shards experts on the Im dim: each chip holds an
         # [*, Im/tp] slice. Grouped INT4/INT8 quantization packs scales and
         # zero-points per G-wide column group of the DOWN projection's Im

@@ -203,14 +203,25 @@ def test_im_mode_quant_group_fracture_rejected_at_config_time():
         first_k_dense_replace=1,
         quant=QuantConfig(method="awq", bits=4, group_size=128),
     )
-    # E=12 does not divide tp=8 -> auto resolves to im; Im/8=176 fractures
-    # the 128-wide groups (the GLM-4.5-Air geometry from ARCHITECTURE.md)
-    with pytest.raises(ValueError, match="fractures"):
-        resolve_moe_parallel(mc, tp=8, knob="auto")
-    with pytest.raises(ValueError, match="fractures"):
-        resolve_moe_parallel(mc, tp=8, knob="im")
-    # E % tp == 0: auto picks EP and the knob is fine
-    assert resolve_moe_parallel(mc, tp=4, knob="auto") is True
-    # unquantized experts may shard Im freely
-    mc2 = ModelConfig(**{**mc.__dict__, "quant": None})
-    assert resolve_moe_parallel(mc2, tp=8, knob="im") is False
+    import os
+
+    # the check applies where the packed Pallas kernels serve (TPU); CPU
+    # GSPMD meshes may emulate fractured im shards on the XLA dequant path
+    os.environ["NVT_STRICT_QUANT_SHARDING"] = "1"
+    try:
+        # E=12 does not divide tp=8 -> auto resolves to im; Im/8=176
+        # fractures the 128-wide groups (the GLM-4.5-Air geometry from
+        # ARCHITECTURE.md)
+        with pytest.raises(ValueError, match="fractures"):
+            resolve_moe_parallel(mc, tp=8, knob="auto")
+        with pytest.raises(ValueError, match="fractures"):
+            resolve_moe_parallel(mc, tp=8, knob="im")
+        # E % tp == 0: auto picks EP and the knob is fine
+        assert resolve_moe_parallel(mc, tp=4, knob="auto") is True
+        # unquantized experts may shard Im freely
+        mc2 = ModelConfig(**{**mc.__dict__, "quant": None})
+        assert resolve_moe_parallel(mc2, tp=8, knob="im") is False
+    finally:
+        del os.environ["NVT_STRICT_QUANT_SHARDING"]
+    # non-strict (CPU): the same config resolves without raising
+    assert resolve_moe_parallel(mc, tp=8, knob="im") is False
