@@ -71,11 +71,11 @@ def main():
         model="",
         model_config=mc,
         max_num_seqs=n,
-        max_num_batched_tokens=16384,
+        max_num_batched_tokens=int(os.environ.get("LC_MBT", "16384")),
         max_model_len=32768,
         kvcache_block_size=256,
         num_kvcache_blocks=n * blocks,
-        prefill_chunk_size=8192,
+        prefill_chunk_size=int(os.environ.get("LC_CHUNK", "8192")),
         enforce_eager=True,
         decode_buckets=(n,),
         prefill_seq_buckets=(1, n),

@@ -107,28 +107,54 @@ def main():
           f"{decoded/dt:.0f} tok/s", file=sys.stderr)
 
     # ---- parse the xplane: top ops by self time --------------------------
+    # NOTE: run the PARSE under PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python
+    # (the C++ protobuf descriptors crash against the installed TF) and via
+    # the `xprof` package — the tensorboard_plugin_profile variant lacks the
+    # xspace_to_tools_data binding here. Re-exec keeps the trace run on the
+    # fast C++ protobufs.
     paths = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane under {prof_dir}"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    if os.environ.get("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION") != "python":
+        import subprocess
 
-    data, _ = r2t.xspace_to_tool_data([max(paths, key=os.path.getmtime)],
-                                      "framework_op_stats^", {})
-    import csv
-    import io
+        env = dict(os.environ,
+                   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python")
+        subprocess.run(
+            [sys.executable, __file__, "--parse-only",
+             max(paths, key=os.path.getmtime)],
+            env=env, check=True)
+        return
+    _parse(max(paths, key=os.path.getmtime))
 
-    rows = list(csv.DictReader(io.StringIO(
-        data.decode() if isinstance(data, bytes) else data)))
-    rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    rows.sort(key=lambda r: -float(r.get("total_self_time_us") or
-                                   r.get("self_time_us") or 0))
-    total = sum(float(r.get("total_self_time_us") or 0) for r in rows)
+
+def _parse(path):
+    import collections
+    import json as _json
+
+    from xprof.convert import raw_to_tool_data as r2t
+
+    data, _ = r2t.xspace_to_tool_data([path], "hlo_stats", {})
+    j = _json.loads(data)
+    cols = [c["label"] for c in j["cols"]]
+    ci = {c: i for i, c in enumerate(cols)}
+    agg = collections.Counter()
+    occ = collections.Counter()
+    for row in j["rows"]:
+        v = [x["v"] for x in row["c"]]
+        key = (str(v[ci["HLO op category"]]),
+               str(v[ci["HLO op name"]]).split(".")[0][:40])
+        agg[key] += float(v[ci["Total self time (us)"]])
+        occ[key] += float(v[ci["#Occurrences"]])
+    total = sum(agg.values())
     print(f"device self-time total: {total/1e3:.1f} ms over trace")
-    for r in rows[:40]:
-        t_us = float(r.get("total_self_time_us") or 0)
-        print(f"{t_us/1e3:9.2f} ms  {100*t_us/max(total,1e-9):5.1f}%  "
-              f"{r.get('op_type','?'):<24.24} {r.get('op_name','?')[:90]}")
+    for k, t in agg.most_common(25):
+        print(f"{t/1e3:9.2f} ms  {100*t/max(total,1e-9):5.1f}%  x{occ[k]:6.0f}"
+              f"  [{k[0]}] {k[1]}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--parse-only":
+        _parse(sys.argv[2])
+    else:
+        main()

@@ -162,9 +162,11 @@ def _choose_eb(e: int, k_bytes: int, tn: int, n_sets: int) -> int:
     return eb
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "broadcast_lhs", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tm", "broadcast_lhs",
+                                             "quant_group", "interpret"))
 def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int,
-              broadcast_lhs: bool = False, interpret: bool = False):
+              broadcast_lhs: bool = False, quant_group: int | None = None,
+              interpret: bool = False):
     # int4 sets are (qw u8-packed, zp, scale); int8 sets are (qw i8, scale);
     # full-precision sets are a single weight stack (no dequant tensors)
     int4 = wsets_flat[0].dtype == jnp.uint8
@@ -180,7 +182,23 @@ def _gmm_call(lhs_padded, offs, *wsets_flat, tm: int,
         kt = next(d for d in range(min(k, 512), 0, -1) if k % d == 0)
     else:
         kg = wsets_flat[1].shape[1]
-        kt = k // kg  # K tile == quant group size
+        # explicit group wins: pre-padded zp/scale rows make k // kg wrong
+        kt = quant_group or k // kg  # K tile == quant group size
+        if kg % 8:
+            # Mosaic cannot DMA-slice a sub-8 sublane extent (GLM-4.5-Air
+            # Im=1408 -> KG=11 tripped a memref_slice error in the int8
+            # path): pad zp/scale rows to the sublane tiling — the kernel
+            # reads only the first nk rows
+            def _pad_kg(w, i):
+                if i % n_w == 0:  # qw rows are aligned
+                    return w
+                pad = [(0, 0)] * w.ndim
+                pad[1] = (0, -(-kg // 8) * 8 - kg)
+                return jnp.pad(w, pad)
+
+            wsets_flat = tuple(_pad_kg(w, i)
+                               for i, w in enumerate(wsets_flat))
+            kg = -(-kg // 8) * 8
     tn = n if n <= 512 or n % 512 != 0 else 512
     assert n % tn == 0, (n, tn)
     w_itemsize = jnp.dtype(wsets_flat[0].dtype).itemsize
@@ -337,22 +355,26 @@ def gmm_bf16_pair(lhs, wa, wb, group_sizes, interpret: bool = False):
     return oa[dst], ob[dst]
 
 
-def quant_gmm_int8(lhs, qw, scale, group_sizes, interpret: bool = False):
+def quant_gmm_int8(lhs, qw, scale, group_sizes,
+                   quant_group: int | None = None,
+                   interpret: bool = False):
     """Grouped matmul with symmetric INT8 weights [E, K, N] (no zero-point);
     weights stay int8 in HBM, dequantized in VMEM tiles."""
     m = lhs.shape[0]
     lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qw.shape[0])
-    (out_p,) = _gmm_call(lhs_p, offs, qw, scale, tm=tm, interpret=interpret)
+    (out_p,) = _gmm_call(lhs_p, offs, qw, scale, tm=tm,
+                         quant_group=quant_group, interpret=interpret)
     return out_p[:m] if dst is None else out_p[dst]
 
 
 def quant_gmm_int8_pair(lhs, qwa, sca, qwb, scb, group_sizes,
+                        quant_group: int | None = None,
                         interpret: bool = False):
     """Paired INT8 grouped matmul (same lhs, two weight sets)."""
     m = lhs.shape[0]
     lhs_p, offs, dst, tm = _prepare(lhs, group_sizes, qwa.shape[0])
     oa, ob = _gmm_call(lhs_p, offs, qwa, sca, qwb, scb, tm=tm,
-                       interpret=interpret)
+                       quant_group=quant_group, interpret=interpret)
     if dst is None:
         return oa[:m], ob[:m]
     return oa[dst], ob[dst]

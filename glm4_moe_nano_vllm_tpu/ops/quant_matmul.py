@@ -272,7 +272,7 @@ def quant_ragged_dot_pair(
             xs,
             qp_a["qw"], qp_a["scale"].astype(jnp.float32),
             qp_b["qw"], qp_b["scale"].astype(jnp.float32),
-            group_sizes,
+            group_sizes, quant_group=quant_group,
         )
     return (
         quant_ragged_dot(xs, qp_a, group_sizes, quant_group=quant_group),
@@ -315,6 +315,7 @@ def quant_ragged_dot(xs: jax.Array, qp: dict, group_sizes: jax.Array,
             return quant_gmm(xs, qp["qw"], qp["zp"], scale, group_sizes)
         from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8
 
-        return quant_gmm_int8(xs, qp["qw"], scale, group_sizes)
+        return quant_gmm_int8(xs, qp["qw"], scale, group_sizes,
+                              quant_group=quant_group)
     w = dequantize(qp, xs.dtype, group_size=quant_group)
     return jax.lax.ragged_dot(xs, w, group_sizes)

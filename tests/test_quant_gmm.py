@@ -275,3 +275,42 @@ def test_quant_gmm2_multi_ntile_skip_x():
         want2[off:off + c] = np.asarray(lhs2)[off:off + c] @ wa[ei]
         off += c
     np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_gmm_unaligned_kg():
+    """Im=1408-class K (KG=11, not a multiple of the 8-sublane tiling):
+    the int8 v1 GMM pads the scale rows internally (a Mosaic memref_slice
+    error on chip at true Air widths, round 4) and an explicitly
+    pre-padded scale + quant_group gives identical results."""
+    import jax.numpy as jnp
+
+    from glm4_moe_nano_vllm_tpu.ops import quant
+    from glm4_moe_nano_vllm_tpu.ops.quant_gmm_pallas import quant_gmm_int8
+
+    rng = np.random.default_rng(11)
+    e, k, n, g = 4, 704, 256, 64  # KG = 11
+    qws, scs = [], []
+    for _ in range(e):
+        w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+        qw, sc = quant.quantize_int8(w, g)
+        qws.append(qw), scs.append(sc.astype(np.float32))
+    qw = jnp.asarray(np.stack(qws))
+    sc = jnp.asarray(np.stack(scs))
+    m = 32
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+    gs = jnp.asarray([10, 0, 15, 7], jnp.int32)
+
+    got = quant_gmm_int8(x, qw, sc, gs, interpret=True)
+
+    # oracle: dequant + ragged_dot
+    from glm4_moe_nano_vllm_tpu.ops.quant_matmul import dequantize
+
+    wfull = dequantize({"qw": qw, "scale": sc}, jnp.float32)
+    want = jax.lax.ragged_dot(x.astype(jnp.float32), wfull, gs)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.03, atol=0.03)
+
+    # pre-padded scale rows + explicit quant_group: identical
+    sc_pad = jnp.pad(sc, ((0, 0), (0, 5), (0, 0)))
+    got2 = quant_gmm_int8(x, qw, sc_pad, gs, quant_group=g, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
