@@ -22,8 +22,10 @@ def sample(
     temperatures: jax.Array,  # [B] float32
     key: jax.Array,
 ) -> jax.Array:
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(temperatures, 1e-6)[:, None]
     gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
-    sampled = jnp.argmax(logits / temp + gumbel, axis=-1).astype(jnp.int32)
-    return jnp.where(temperatures > 0, sampled, greedy)
+    # one argmax pass for both modes (the select fuses into its input):
+    # greedy rows argmax raw logits, sampled rows the Gumbel-perturbed ones
+    # — bit-identical tokens to the separate two-argmax formulation
+    z = jnp.where(temperatures[:, None] > 0, logits / temp + gumbel, logits)
+    return jnp.argmax(z, axis=-1).astype(jnp.int32)

@@ -77,12 +77,22 @@ def attention_block(
     ws = attn_stacks if attn_stacks is not None else lp
     li = layer_idx if attn_stacks is not None else None
     qg = cfg.quant.group_size if cfg.quant is not None else None
-    q = linear(x, ws["wq"], lp.get("bq"), layer_idx=li,
-               quant_group=qg).reshape(b, s, nq, d)
-    k = linear(x, ws["wk"], lp.get("bk"), layer_idx=li,
-               quant_group=qg).reshape(b, s, nkv, d)
-    v = linear(x, ws["wv"], lp.get("bv"), layer_idx=li,
-               quant_group=qg).reshape(b, s, nkv, d)
+    if "wqkv" in ws:
+        # init-time fused q|k|v concat (ModelRunner._fuse_qkv_projections):
+        # one dense-kernel launch, bit-identical per output column
+        qkv = linear(x, ws["wqkv"], lp.get("bqkv"), layer_idx=li,
+                     quant_group=qg)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nkv) * d], axis=-1)
+        q = q.reshape(b, s, nq, d)
+        k = k.reshape(b, s, nkv, d)
+        v = v.reshape(b, s, nkv, d)
+    else:
+        q = linear(x, ws["wq"], lp.get("bq"), layer_idx=li,
+                   quant_group=qg).reshape(b, s, nq, d)
+        k = linear(x, ws["wk"], lp.get("bk"), layer_idx=li,
+                   quant_group=qg).reshape(b, s, nkv, d)
+        v = linear(x, ws["wv"], lp.get("bv"), layer_idx=li,
+                   quant_group=qg).reshape(b, s, nkv, d)
 
     if cfg.use_qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)

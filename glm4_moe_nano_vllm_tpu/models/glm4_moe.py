@@ -290,7 +290,7 @@ class Glm4MoeForCausalLM:
             # quantized attention projections also stay out of the scan xs:
             # the dense Pallas kernel selects the layer in-kernel
             attn_keys = tuple(
-                k for k in ("wq", "wk", "wv", "wo")
+                k for k in ("wq", "wk", "wv", "wqkv", "wo")
                 if isinstance(params["moe_layers"].get(k), dict)
             )
             if attn_keys:

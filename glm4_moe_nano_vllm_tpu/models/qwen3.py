@@ -137,7 +137,7 @@ class Qwen3ForCausalLM:
         attn_keys = ()
         if self.pp == 1:
             attn_keys = tuple(
-                k for k in ("wq", "wk", "wv", "wo")
+                k for k in ("wq", "wk", "wv", "wqkv", "wo")
                 if isinstance(params["layers"].get(k), dict)
             )
             if attn_keys:

@@ -62,6 +62,25 @@ def _sf_merge() -> bool:
     return bool(int(os.environ.get("NVT_SFM_MERGE", "0")))
 
 
+def _unpack_nibbles_bf16(w8):
+    """u8 [rows, N] -> (lo, hi) nibble planes as bf16 (0..15).
+
+    Mosaic has no direct u8/i32 -> bf16 cast; go through f32. (Masking in
+    the packed u8 domain first — 4x lanes per VPU op — was tried round 4:
+    Mosaic has no u8 -> f32 cast either, so the widen cannot be deferred
+    past the mask. A u16-domain magic-number construction —
+    (u16(b) & 0xF) | 0x4300 bitcast to bf16 == 128 + nibble exactly, offset
+    folded into zp — was ALSO tried round 4 and REGRESSED on chip: in-step
+    2.40 -> 2.71 ms/layer in this kernel and 1.81 -> 3.80 ms/step in
+    quant_dense_pallas. Mosaic's 16-bit elementwise ops do not deliver 2x
+    lane throughput here; the convert chain below is the measured optimum.)
+    """
+    w32 = w8.astype(jnp.int32)
+    lo = (w32 & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
+    hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
+    return lo, hi
+
+
 def _group_rowsums(x, kt: int, nk: int):
     """[TM, K] -> [TM, nk] f32 per-quant-group row sums (for the
     output-side zero-point correction)."""
@@ -82,13 +101,7 @@ def _proj_outscale(x, qw_ref, zp_ref, sc_ref, kt: int, nk: int,
     out = None
     for g in range(nk):
         if int4:
-            w32 = qw_ref[g * half:(g + 1) * half, :].astype(jnp.int32)
-            # Mosaic has no direct u8/i32 -> bf16 cast; go through f32.
-            # (Masking in the packed u8 domain first — 4x lanes per VPU
-            # op — was tried round 4: Mosaic has no u8 -> f32 cast either,
-            # so the widen cannot be deferred past the mask.)
-            lo = (w32 & 0x0F).astype(jnp.float32).astype(jnp.bfloat16)
-            hi = (w32 >> 4).astype(jnp.float32).astype(jnp.bfloat16)
+            lo, hi = _unpack_nibbles_bf16(qw_ref[g * half:(g + 1) * half, :])
             if _sf_merge():
                 w = jnp.concatenate([lo, hi], axis=0)  # [kt, N]
                 a = jnp.dot(x[:, g * kt:(g + 1) * kt], w,

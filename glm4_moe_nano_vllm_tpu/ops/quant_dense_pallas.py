@@ -29,7 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
 def _make_kernel(n_w: int, kt: int, nk: int):
+    # NOTE (round 4): an output-side-dequant rewrite of this kernel (shared
+    # _proj_outscale + u16 magic-number nibble unpack) was measured on chip
+    # and REGRESSED 1.81 -> 3.80 ms/step at Air decode widths; the
+    # input-side (q - zp) * s chain below is the measured optimum.
     def kernel(li_ref, x_ref, *refs):
         del li_ref  # consumed by the BlockSpec index maps only
         out_ref = refs[-1]

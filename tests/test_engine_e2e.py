@@ -282,3 +282,31 @@ def test_warmup_covers_serving_programs():
                         use_tqdm=False)
     assert all(len(o["token_ids"]) == 6 for o in outs)
     assert eng.metrics.jit_serve_compiles == 0, eng.metrics.summary()
+
+
+def test_fused_qkv_matches_unfused():
+    """ModelRunner._fuse_qkv_projections (single-chip init pass) must not
+    change outputs: AWQ groups run along K, so the q|k|v N-concat is
+    column-exact vs three separate projections."""
+    from dataclasses import replace
+
+    from glm4_moe_nano_vllm_tpu.config import QuantConfig
+    from glm4_moe_nano_vllm_tpu.engine.model_runner import ModelRunner
+
+    mc_q = replace(TINY_MOE, quant=QuantConfig(method="awq", bits=4,
+                                               group_size=16))
+    prompts = [[1, 2, 3, 4], [5, 6, 7], list(range(1, 40))]
+    fused = make_engine(mc_q)
+    assert "wqkv" in fused.model_runner.params["moe_layers"]
+    assert "wq" not in fused.model_runner.params["moe_layers"]
+    out_fused = gen(fused, prompts, ignore_eos=True)
+
+    orig = ModelRunner._fuse_qkv_projections
+    try:
+        ModelRunner._fuse_qkv_projections = lambda self: None
+        plain = make_engine(mc_q)
+        assert "wq" in plain.model_runner.params["moe_layers"]
+        out_plain = gen(plain, prompts, ignore_eos=True)
+    finally:
+        ModelRunner._fuse_qkv_projections = orig
+    assert out_fused == out_plain
