@@ -58,7 +58,10 @@ def qset(k, n):
             s = np.broadcast_to(s, (L * E, *a[0].shape))
         return jnp.asarray(np.ascontiguousarray(s.reshape(L, E, *a[0].shape)))
 
-    return {"qw": st(qws), "zp": st(zps), "scale": st(scs)}
+    scale_dt = (jnp.bfloat16 if os.environ.get("MB_SCALE_BF16", "1") != "0"
+                else jnp.float32)  # serving default: bf16 scale storage
+    return {"qw": st(qws), "zp": st(zps),
+            "scale": st(scs).astype(scale_dt)}
 
 
 w_gate = qset(H, IM)
@@ -98,11 +101,18 @@ if MODE in ("fd", "fd_ep"):
         topk_w = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
         exp_rows = None
 
+    # MB_SHARED=1 fuses a shared expert (as serving does); MB_L=7 +
+    # MB_SHARED=1 replicates the Air decode step's kernel conditions
+    shared = None
+    if os.environ.get("MB_SHARED"):
+        sh = [qset(H, IM), qset(H, IM), qset(IM, H)]
+        shared = tuple({k: v[:, 0] for k, v in s.items()} for s in sh)
+
     @jax.jit
     def run(x, wg, wu, wd, wc):
         def body(x, li):
             o = moe_fused_dispatch(x, topk_idx, topk_w, wg, wu, wd,
-                                   layer_idx=li % L,
+                                   layer_idx=li % L, shared=shared,
                                    expected_rows=exp_rows)
             return (x * 0.999 + o.astype(x.dtype) * 1e-3), ()
 

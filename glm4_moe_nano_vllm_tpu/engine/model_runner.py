@@ -79,6 +79,7 @@ class ModelRunner:
         else:
             self.params = self.model.init_params(jax.random.PRNGKey(0))
         self._pad_expert_scale_rows()
+        self._cast_quant_scales()
         if mesh is None:
             self._fuse_qkv_projections()
         logger.info("params ready in %.1fs", time.perf_counter() - t0)
@@ -188,6 +189,31 @@ class ModelRunner:
                 pad = [(0, 0)] * arr.ndim
                 pad[-2] = (0, -(-kg // 8) * 8 - kg)
                 d[leaf] = jnp.pad(arr, pad)
+
+    def _cast_quant_scales(self):
+        """Cast quant-dict scale planes to QuantConfig.scale_dtype ONCE.
+
+        The decode step re-reads every weight stream per micro-step, and
+        f32 scale planes are 3-6% of the packed INT4 bytes; bf16 storage
+        halves them. The cast must happen at init — the kernels cast the
+        per-block scale refs back to f32 in-VMEM (a per-group-row op, ~1/kt
+        of the per-weight work), and a trace-time astype would materialize
+        a full f32 copy per scanned layer per step (the KG-pad lesson,
+        _pad_expert_scale_rows)."""
+        qc = self.config.model_config.quant
+        if qc is None or qc.scale_dtype in ("float32", "fp32"):
+            return
+        dt = _DTYPES[qc.scale_dtype]
+
+        def walk(node):
+            if isinstance(node, dict):
+                if "qw" in node and "scale" in node:
+                    node["scale"] = node["scale"].astype(dt)
+                else:
+                    for v in node.values():
+                        walk(v)
+
+        walk(self.params)
 
     def _fuse_qkv_projections(self):
         """Concatenate quantized q/k/v projection weights along N ONCE so

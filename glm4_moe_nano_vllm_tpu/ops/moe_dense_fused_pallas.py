@@ -98,7 +98,7 @@ def _dequant_tiles(set_refs, n_w: int, kt: int, nk: int, dtype):
         if n_w == 1:
             yield set_refs[0][ki * kt:(ki + 1) * kt, :]
             continue
-        scale = set_refs[-1][ki:ki + 1, :]
+        scale = set_refs[-1][ki:ki + 1, :].astype(jnp.float32)
         if n_w == 3:
             yield _dequant_int4(set_refs[0], set_refs[1], scale, ki, kt, dtype)
         else:  # int8, symmetric
@@ -194,8 +194,8 @@ def _make_kernel(n_w: int, kt_h: int, nk_h: int, kt_i: int, nk_i: int,
 def _flat_set(w):
     if isinstance(w, dict):
         if "zp" in w:
-            return (w["qw"], w["zp"], w["scale"].astype(jnp.float32))
-        return (w["qw"], w["scale"].astype(jnp.float32))
+            return (w["qw"], w["zp"], w["scale"])
+        return (w["qw"], w["scale"])
     return (w,)
 
 

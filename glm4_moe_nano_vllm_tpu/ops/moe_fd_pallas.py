@@ -262,8 +262,8 @@ def moe_fused_dispatch(x, topk_idx, topk_w, w_gate, w_up, w_down,
     k = topk_idx.shape[1]
 
     def flat(w):
-        parts = ((w["qw"], w["zp"], w["scale"].astype(jnp.float32))
-                 if "zp" in w else (w["qw"], w["scale"].astype(jnp.float32)))
+        parts = ((w["qw"], w["zp"], w["scale"])
+                 if "zp" in w else (w["qw"], w["scale"]))
         if layer_idx is None:
             parts = tuple(p[None] for p in parts)  # L = 1 view (no copy)
         return parts

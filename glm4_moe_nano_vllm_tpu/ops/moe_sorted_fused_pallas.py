@@ -116,11 +116,11 @@ def _proj_outscale(x, qw_ref, zp_ref, sc_ref, kt: int, nk: int,
                 jnp.float32).astype(jnp.bfloat16)
             a = jnp.dot(x[:, g * kt:(g + 1) * kt], q,
                         preferred_element_type=jnp.float32)
-        term = a * sc_ref[g:g + 1, :]
+        term = a * sc_ref[g:g + 1, :].astype(jnp.float32)
         out = term if out is None else out + term
     if int4:
         zs = zp_ref[:nk].astype(jnp.int32).astype(jnp.float32) \
-            * sc_ref[:nk]  # [nk, N]
+            * sc_ref[:nk].astype(jnp.float32)  # [nk, N]
         if rowsums is None:
             rowsums = _group_rowsums(x, kt, nk)
         out = out - jnp.dot(rowsums, zs, preferred_element_type=jnp.float32)
@@ -359,8 +359,8 @@ def moe_sorted_fused(x, topk_idx, topk_w, w_gate, w_up, w_down,
     k = topk_idx.shape[1]
 
     def flat(w):
-        parts = ((w["qw"], w["zp"], w["scale"].astype(jnp.float32))
-                 if "zp" in w else (w["qw"], w["scale"].astype(jnp.float32)))
+        parts = ((w["qw"], w["zp"], w["scale"])
+                 if "zp" in w else (w["qw"], w["scale"]))
         if layer_idx is None:
             parts = tuple(p[None] for p in parts)  # L = 1 view (no copy)
         return parts

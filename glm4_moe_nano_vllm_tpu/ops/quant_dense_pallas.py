@@ -120,9 +120,9 @@ def quant_dense_matmul(x: jax.Array, qp: dict, layer_idx=None,
     if b_pad != b:
         x2 = jnp.zeros((b_pad, k), x2.dtype).at[:b].set(x2)
     if "zp" in qp:
-        wset = (qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32))
+        wset = (qp["qw"], qp["zp"], qp["scale"])
     else:
-        wset = (qp["qw"], qp["scale"].astype(jnp.float32))
+        wset = (qp["qw"], qp["scale"])
     if layer_idx is None:
         wset = tuple(w[None] for w in wset)  # L = 1 view (no copy)
         layer_idx = 0

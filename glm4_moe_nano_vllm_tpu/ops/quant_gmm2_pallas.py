@@ -315,9 +315,9 @@ def quant_gmm2_chain(lhs8, wsets: list, layout: GmmLayout, layer_idx=None,
     flat = []
     for qp in wsets:
         if "zp" in qp:
-            parts = (qp["qw"], qp["zp"], qp["scale"].astype(jnp.float32))
+            parts = (qp["qw"], qp["zp"], qp["scale"])
         else:
-            parts = (qp["qw"], qp["scale"].astype(jnp.float32))
+            parts = (qp["qw"], qp["scale"])
         if layer_idx is None:
             parts = tuple(p[None] for p in parts)  # L = 1 view (no copy)
         flat += list(parts)

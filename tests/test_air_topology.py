@@ -106,7 +106,8 @@ def test_full_air_depth_tp_ep_engine_smoke():
 # ---- v5e-8 HBM budget for the REAL GLM-4.5-Air (BASELINE config 4) -------
 
 def air_hbm_budget(num_chips: int = 8, kv_dtype_bytes: int = 1,
-                   block_tokens_per_chip: int = 64 * 512):
+                   block_tokens_per_chip: int = 64 * 512,
+                   scale_bytes: int = 2):
     """Bytes-per-chip budget math for full GLM-4.5-Air INT4 on a v5e-8
     host under TP=8 + EP (experts sharded 16/chip, attention heads 12/chip,
     KV heads replicated 8-way... kv 8 heads / 8 chips -> 1 each).
@@ -118,9 +119,10 @@ def air_hbm_budget(num_chips: int = 8, kv_dtype_bytes: int = 1,
     NQ, NKV, HD, V = 96, 8, 128, 151552
     LM = L - 1  # MoE layers
 
-    def int4_bytes(k, n):  # packed qw + zp u8 + scale f32 (KG = k/128)
+    def int4_bytes(k, n):  # packed qw + zp u8 + scale (KG = k/128;
+        # scale_bytes=2 is the bf16 default, QuantConfig.scale_dtype)
         kg = -(-k // 128)
-        return k * n // 2 + kg * n + kg * n * 4
+        return k * n // 2 + kg * n + kg * n * scale_bytes
 
     experts = LM * E * (2 * int4_bytes(H, IM) + int4_bytes(IM, H))
     shared = LM * (2 * int4_bytes(H, IS) + int4_bytes(IS, H))
