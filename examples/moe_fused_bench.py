@@ -75,7 +75,21 @@ per_layer_bytes = sum(
 print(f"expert stream per call: {per_layer_bytes/1e6:.0f} MB")
 
 x0 = jnp.asarray(rng.normal(size=(T, H)), jnp.bfloat16)
-sel = rng.permuted(np.tile(np.arange(E), (T, 1)), axis=1)[:, :K_TOP]
+if os.environ.get("MB_SKEW"):
+    # Zipf-weighted expert prior (Gumbel-top-k per token, distinct ids):
+    # replicates the CONCENTRATED routing a random-weight router produces
+    # in serving — hot experts span multiple TM row chunks, and the kernel
+    # re-dequantizes the expert's weight tiles once per chunk
+    s = float(os.environ.get("MB_SKEW"))
+    logp = -s * np.log(1.0 + np.arange(E))
+    g = rng.gumbel(size=(T, E))
+    sel = np.argsort(-(logp[None] + g), axis=1)[:, :K_TOP]
+    spans = np.bincount(sel.ravel(), minlength=E)
+    tm_dbg = 16
+    print(f"skew s={s}: chunks={int(np.ceil(spans / tm_dbg).sum())} "
+          f"(uniform would be ~{E}), max expert rows={spans.max()}")
+else:
+    sel = rng.permuted(np.tile(np.arange(E), (T, 1)), axis=1)[:, :K_TOP]
 wc_np = np.zeros((T, E), np.float32)
 np.put_along_axis(wc_np, sel, 1.0 / K_TOP, axis=1)
 wc = jnp.asarray(wc_np)
@@ -105,8 +119,19 @@ if MODE in ("fd", "fd_ep"):
     # MB_SHARED=1 replicates the Air decode step's kernel conditions
     shared = None
     if os.environ.get("MB_SHARED"):
-        sh = [qset(H, IM), qset(H, IM), qset(IM, H)]
-        shared = tuple({k: v[:, 0] for k, v in s.items()} for s in sh)
+        def shared_set(k, n):  # [L, ...] stacks (tile one quantized expert)
+            w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+            qw, qz, sc = quant.quantize_awq(w, G)
+            qw2, zp2, sc2 = quant.repack_awq_for_tpu(qw, qz, sc)
+            scale_dt = (jnp.bfloat16
+                        if os.environ.get("MB_SCALE_BF16", "1") != "0"
+                        else jnp.float32)
+            tile = lambda a: jnp.asarray(  # noqa: E731
+                np.broadcast_to(a, (L, *a.shape)).copy())
+            return {"qw": tile(qw2), "zp": tile(zp2),
+                    "scale": tile(sc2).astype(scale_dt)}
+
+        shared = (shared_set(H, IM), shared_set(H, IM), shared_set(IM, H))
 
     @jax.jit
     def run(x, wg, wu, wd, wc):

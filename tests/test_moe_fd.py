@@ -130,3 +130,26 @@ def test_fd_policy_bounds():
         assert not use_fused_dispatch(4096, wg, 8)  # prefill chunk
     finally:
         del os.environ["NVT_FUSED_MOE_INTERPRET"]
+
+
+def test_fd_hot_expert_scratch_path_parity(monkeypatch):
+    """ALL tokens on one expert with TM pinned to 16: the 64-row span is 4
+    TM chunks — the hot-expert/skewed-routing case (multi-chunk fori_loop
+    over one expert's span); output must match the oracle. (Two
+    chunk-restructuring optimizations for this case were measured and
+    reverted, ARCHITECTURE.md "Routing-skew cost"; this test pins the
+    multi-chunk path's correctness either way.)"""
+    monkeypatch.setenv("NVT_FD_TM", "16")
+    rng = np.random.default_rng(3)
+    t, e, k, h, im = 64, 4, 2, 128, 128
+    wg = _qdict(rng, e, h, im)
+    wu = _qdict(rng, e, h, im)
+    wd = _qdict(rng, e, im, h)
+    x = jnp.asarray(rng.normal(size=(t, h)), jnp.bfloat16)
+    idx = np.tile(np.array([0, 1]), (t, 1))  # expert 0 + 1 for every token
+    w = rng.random((t, k)).astype(np.float32)
+    out = moe_fused_dispatch(x, jnp.asarray(idx, jnp.int32), jnp.asarray(w),
+                             wg, wu, wd, interpret=True)
+    ref = _oracle(x, idx, w, wg, wu, wd)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=0.05, atol=0.02)
