@@ -142,7 +142,12 @@ def _kv_write_kernel(
                   if scaled else None)
             for t in range(n_t):
                 mask = m if t < 2 else m2  # k/v data, then scale planes
-                bufs[t][idx] = jnp.where(mask, srcs[t][idx], bufs[t][idx])
+                src = srcs[t][idx]
+                if src.shape[1] != bufs[t].shape[2]:
+                    # decode 1-row source (sublane-padded): row 0 is the
+                    # new token; broadcast over block rows, mask picks lo
+                    src = src[:, :1]
+                bufs[t][idx] = jnp.where(mask, src, bufs[t][idx])
                 pltpu.make_async_copy(
                     bufs[t].at[idx], caches_out[t].at[:, blk], sems.at[t, idx]
                 ).start()
@@ -220,7 +225,23 @@ def write_kv_pallas(
         sl = sl.reshape(entries, bs, h, -1).transpose(0, 2, 1, 3)
         return jnp.pad(sl, ((0, pad), (0, 0), (0, 0), (0, 0)))
 
-    ins = [stage(k_new, kc_arr.dtype), stage(v_new, vc_arr.dtype)]
+    if s == 1:
+        # decode fast path: one token per sequence -> entry e's source IS
+        # row e of k_new/v_new; a [E, H, 1, D] reshape replaces the [E, H,
+        # bs, D] slab gather (8 MB gather + transpose per layer per step at
+        # Air decode shapes — pure glue). The kernel's select broadcasts
+        # the 1-row source across block rows; only row lo (== hi-1) takes
+        # it.
+        def stage_data(x, dt):
+            # row dim padded to the dtype's sublane packing (bf16 2, 8-bit
+            # 4) — Mosaic rejects DMA slices unaligned to the tiling
+            sub = {2: 2, 1: 4}.get(jnp.dtype(dt).itemsize, 1)
+            sl = x.astype(dt)[:, :, None, :]  # [T, H, 1, D]
+            return jnp.pad(sl, ((0, pad), (0, 0), (0, sub - 1), (0, 0)))
+    else:
+        stage_data = stage
+
+    ins = [stage_data(k_new, kc_arr.dtype), stage_data(v_new, vc_arr.dtype)]
     caches = [kc_arr, vc_arr]
     if scaled:
         # scale planes [T, H] stage to [E, H, 1, bs_pad] (one f32 scale per
@@ -246,9 +267,14 @@ def write_kv_pallas(
             else pl.ANY
         )
 
-    # one block buffer + one source slab per tensor: [G, H, bs(, D)]
-    scratch = [pltpu.VMEM((group,) + c.shape[:1] + c.shape[2:], c.dtype)
-               for c in caches + caches]
+    # one block buffer per tensor [G, H, bs(, D)] + one source buffer
+    # shaped like the staged input (decode stages [E, H, 1, D] — the
+    # kernel's select broadcasts the single source row across block rows)
+    scratch = (
+        [pltpu.VMEM((group,) + c.shape[:1] + c.shape[2:], c.dtype)
+         for c in caches]
+        + [pltpu.VMEM((group,) + i.shape[1:], i.dtype) for i in ins]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=((entries + pad) // group,),
