@@ -22,16 +22,27 @@ def rope_inv_freq(rotary_dim: int, base: float) -> jax.Array:
     return 1.0 / (base ** exponent)  # [rotary_dim // 2]
 
 
+def rope_cos_sin(
+    positions: jax.Array,  # [...] int32
+    inv_freq: jax.Array,  # [rotary_dim // 2]
+) -> tuple[jax.Array, jax.Array]:
+    """Positions -> (cos, sin) [..., 1, rot/2], shared by every layer of a
+    step (positions are layer-invariant: computing this inside the layer
+    scan re-ran the outer product + cos/sin per layer per micro-step)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., rot/2]
+    return jnp.cos(freqs)[..., None, :], jnp.sin(freqs)[..., None, :]
+
+
 def apply_rope(
     q: jax.Array,  # [..., num_q_heads, head_dim]
     k: jax.Array,  # [..., num_kv_heads, head_dim]
     positions: jax.Array,  # [...] int32, broadcastable over the token dims
     inv_freq: jax.Array,  # [rotary_dim // 2]
     rotary_dim: int,
+    cos_sin: tuple[jax.Array, jax.Array] | None = None,  # precomputed
 ) -> tuple[jax.Array, jax.Array]:
-    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., rot/2]
-    cos = jnp.cos(freqs)[..., None, :]  # broadcast over heads
-    sin = jnp.sin(freqs)[..., None, :]
+    cos, sin = (rope_cos_sin(positions, inv_freq) if cos_sin is None
+                else cos_sin)
 
     def rot(x):
         x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]

@@ -65,6 +65,7 @@ def attention_block(
     # projections select the layer in-kernel instead of riding the scan xs
     # (each sliced INT4 qkv/o stack is a real per-layer copy, ~0.9 ms per
     # Air decode micro-step)
+    cos_sin=None,  # per-step rope tables (layers.rotary.rope_cos_sin)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     b, s, _ = x.shape
     nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -98,7 +99,8 @@ def attention_block(
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
 
-    q, k = apply_rope(q, k, batch.positions, inv_freq, rotary_dim)
+    q, k = apply_rope(q, k, batch.positions, inv_freq, rotary_dim,
+                      cos_sin=cos_sin)
 
     # All layers share one flat cache (blocks of layer l live at
     # [l*num_blocks, (l+1)*num_blocks)); the cache is a scan *carry*, updated

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from glm4_moe_nano_vllm_tpu.config import ModelConfig
 from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
 from glm4_moe_nano_vllm_tpu.layers.normalization import rms_norm
-from glm4_moe_nano_vllm_tpu.layers.rotary import rope_inv_freq
+from glm4_moe_nano_vllm_tpu.layers.rotary import rope_cos_sin, rope_inv_freq
 from glm4_moe_nano_vllm_tpu.models.common import (
     attention_block,
     compute_logits,
@@ -161,6 +161,7 @@ class Glm4MoeForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
+        cos_sin = rope_cos_sin(batch.positions, inv_freq)
         if "embed" in params:
             x = embed(batch.token_ids, params["embed"], self.dtype)
         elif "embed_t" in params:
@@ -176,20 +177,21 @@ class Glm4MoeForCausalLM:
             lp, li = xs
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
-                                        li, nb)
+                                        li, nb, cos_sin=cos_sin)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
             return (x, kc, vc), None
 
-        def moe_body(carry, xs, batch):
+        def moe_body(carry, xs, batch, cs=None):
             x, kc, vc = carry
             lp, li = xs
             b, s, h = x.shape
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
                                         li, nb,
-                                        attn_stacks=self._full_attn)
+                                        attn_stacks=self._full_attn,
+                                        cos_sin=cs)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             flat = hh.reshape(b * s, h)
@@ -256,8 +258,10 @@ class Glm4MoeForCausalLM:
                 kd = (kc_local["data"] if isinstance(kc_local, dict)
                       else kc_local)  # fp8 caches are {data, scale}
                 n_local = kd.shape[1] // nb  # layers in this stage
+                # microbatch-sliced positions: per-stage rope tables
+                cs_mb = rope_cos_sin(batch_mb.positions, inv_freq)
                 (x_out, kc, vc), _ = jax.lax.scan(
-                    lambda c, xs: moe_body(c, xs, batch_mb),
+                    lambda c, xs: moe_body(c, xs, batch_mb, cs_mb),
                     (x_mb, kc_local, vc_local),
                     (lp_local, jnp.arange(n_local, dtype=jnp.int32)),
                 )
@@ -299,7 +303,7 @@ class Glm4MoeForCausalLM:
             scan_params = {k: v for k, v in params["moe_layers"].items()
                            if k not in expert_keys + attn_keys}
             (x, km, vm), _ = jax.lax.scan(
-                lambda c, xs: moe_body(c, xs, batch),
+                lambda c, xs: moe_body(c, xs, batch, cos_sin),
                 (x, caches["moe_k"], caches["moe_v"]),
                 (scan_params,
                  jnp.arange(self.num_moe, dtype=jnp.int32)),

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from glm4_moe_nano_vllm_tpu.config import ModelConfig
 from glm4_moe_nano_vllm_tpu.engine.batch import BatchInfo
 from glm4_moe_nano_vllm_tpu.layers.normalization import rms_norm
-from glm4_moe_nano_vllm_tpu.layers.rotary import rope_inv_freq
+from glm4_moe_nano_vllm_tpu.layers.rotary import rope_cos_sin, rope_inv_freq
 from glm4_moe_nano_vllm_tpu.models.common import (
     attention_block,
     compute_logits,
@@ -107,6 +107,7 @@ class Qwen3ForCausalLM:
         cfg = self.cfg
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
         inv_freq = rope_inv_freq(rotary_dim, cfg.rope_theta)
+        cos_sin = rope_cos_sin(batch.positions, inv_freq)
         if "embed" in params:
             x = embed(batch.token_ids, params["embed"], self.dtype)
         elif "embed_t" in params:
@@ -117,14 +118,15 @@ class Qwen3ForCausalLM:
 
         nb = self.num_blocks
 
-        def body(carry, xs, batch):
+        def body(carry, xs, batch, cs=None):
             # KV caches ride the scan carry (in-place scatter, no full-cache
             # rewrite); xs carries only this layer's params + index.
             x, kc, vc = carry
             lp, li = xs
             h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(h, lp, kc, vc, batch, cfg, inv_freq,
-                                        li, nb, attn_stacks=self._full_attn)
+                                        li, nb, attn_stacks=self._full_attn,
+                                        cos_sin=cs)
             x = x + a
             h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
@@ -154,8 +156,10 @@ class Qwen3ForCausalLM:
                 kd = (kc_local["data"] if isinstance(kc_local, dict)
                       else kc_local)  # fp8 caches are {data, scale}
                 n_local = kd.shape[1] // nb  # layers in this stage
+                # microbatch-sliced positions: per-stage rope tables
+                cs_mb = rope_cos_sin(batch_mb.positions, inv_freq)
                 (x_out, kc, vc), _ = jax.lax.scan(
-                    lambda c, xs: body(c, xs, batch_mb),
+                    lambda c, xs: body(c, xs, batch_mb, cs_mb),
                     (x_mb, kc_local, vc_local),
                     (lp_local, jnp.arange(n_local, dtype=jnp.int32)),
                 )
@@ -168,7 +172,7 @@ class Qwen3ForCausalLM:
             )
         else:
             (x, k_new, v_new), _ = jax.lax.scan(
-                lambda c, xs: body(c, xs, batch),
+                lambda c, xs: body(c, xs, batch, cos_sin),
                 (x, caches["k"], caches["v"]),
                 (params["layers"], layer_ids),
             )

@@ -314,13 +314,16 @@ def moe_fused_dispatch(x, topk_idx, topk_w, w_gate, w_up, w_down,
                       preferred_element_type=jnp.float32)  # exact (one-hot)
     c_r = iota_m[:, 0].astype(jnp.float32) - start_r  # slot within the span
     # sel[r, t] = assigned[t, e_r] and rank[t, e_r] == c_r — realized as
-    # one-hot matmuls against the [T, E] routing matrices (values are small
-    # ints / weights; one-hot rows make every product exact in f32)
-    a_rows = jnp.dot(ohf, assigned.T.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)  # [m_ext, T]
-    r_rows = jnp.dot(ohf, rank.T.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    w_rows = jnp.dot(ohf, w_te.T, preferred_element_type=jnp.float32)
+    # ONE one-hot matmul against the [T, E] routing matrices stacked on
+    # the T axis (values are small ints / weights; one-hot rows make every
+    # product exact in f32; stacking merges three dots + their fusion
+    # packaging per layer into one)
+    stacked = jnp.concatenate(
+        [assigned.T.astype(jnp.float32), rank.T.astype(jnp.float32),
+         w_te.T], axis=1)  # [E, 3T]
+    rows3 = jnp.dot(ohf, stacked, preferred_element_type=jnp.float32)
+    a_rows, r_rows, w_rows = (rows3[:, :t], rows3[:, t:2 * t],
+                              rows3[:, 2 * t:])
     onehot = (a_rows > 0.5) & (r_rows == c_r[:, None])
     if t_pad != t:
         onehot = jnp.pad(onehot, ((0, 0), (0, t_pad - t)))
