@@ -310,7 +310,11 @@ def bench_air_slice(peak_bw: float, num_seqs: int | None = None,
         # 64-step windows: the toy bench measured ~1 ms/step of host/tunnel
         # gap at 32 (wall vs device time); 64 halves it per micro-step
         num_scheduler_steps=64,
-        pa_chunk_tokens=512,
+        # 256-token decode-attention chunks: cmax=2 grid lets the
+        # cross-chunk DMA lookahead overlap compute (512 measured 5,683
+        # tok/s vs 256's 5,839 at batch 128 — the 512 choice predated the
+        # lookahead and aged badly)
+        pa_chunk_tokens=256,
     )
     rng = np.random.default_rng(0)
     prompts = [rng.integers(4, 60000, size=int(rng.integers(32, 128))).tolist()

@@ -82,7 +82,7 @@ def main():
         dtype="bfloat16",
         kv_cache_dtype=kv,
         num_scheduler_steps=int(os.environ.get("AIR_STEPS", "64")),
-        pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "512")),
+        pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "256")),
     )
 
     rng = np.random.default_rng(0)

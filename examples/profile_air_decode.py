@@ -68,7 +68,7 @@ def main():
         dtype="bfloat16",
         kv_cache_dtype=os.environ.get("AIR_KV", "bfloat16"),
         num_scheduler_steps=64,
-        pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "512")),
+        pa_chunk_tokens=int(os.environ.get("AIR_PA_CHUNK", "256")),
     )
     t0 = time.perf_counter()
     runner = ModelRunner(cfg)
