@@ -239,6 +239,26 @@ def main():
                     out_tokens=128)
             except Exception as e:  # noqa: BLE001
                 print(f"# air_slice_int4_b256 failed: {e!r}", file=sys.stderr)
+        # context-laden flagship config (VERDICT r4 item 1): mean decode
+        # context ~2K tokens — the KV-read-bound regime config 4 actually
+        # serves. int8 KV is REQUIRED here (bf16 KV at batch 128 x 2.5K
+        # tokens is 11 GiB next to 8.5 GiB of weights: OOM by ~4 GiB);
+        # 128-token blocks + 1024-token attention chunks are the measured
+        # optimum for the scaled-KV decode kernel (BENCHMARKS.md round 5).
+        if os.environ.get("BENCH_AIR_CTX", "1") != "0":
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            try:
+                result["air_slice_int4_ctx2k"] = bench_air_slice(
+                    peak_bw, num_seqs=128, kv="int8", blk_tok=2560,
+                    out_tokens=96, prompt_lo=1792, prompt_hi=2304,
+                    max_model_len=4096, block_size=128, pa_chunk=1024,
+                    prefill_chunk=512, max_batched_tokens=4096,
+                    seq_buckets=(8, 128))
+            except Exception as e:  # noqa: BLE001
+                print(f"# air_slice_int4_ctx2k failed: {e!r}",
+                      file=sys.stderr)
 
     print(json.dumps(result))
     m = {k: round(v, 2) if isinstance(v, float) else v
@@ -251,7 +271,12 @@ def main():
 
 def bench_air_slice(peak_bw: float, num_seqs: int | None = None,
                     kv: str = "bfloat16", blk_tok: int = 512,
-                    out_tokens: int = 64) -> dict:
+                    out_tokens: int = 64, prompt_lo: int = 32,
+                    prompt_hi: int = 128, max_model_len: int = 512,
+                    block_size: int = 32, pa_chunk: int = 256,
+                    prefill_chunk: int = 512,
+                    max_batched_tokens: int = 4096,
+                    seq_buckets: tuple | None = None) -> dict:
     """True-Air-width INT4 decode bench (8 of 46 layers, every width real:
     H=4096, 96q/8kv x 128, 128 experts Im=1408 top-8 + shared, KG=11).
 
@@ -296,15 +321,16 @@ def bench_air_slice(peak_bw: float, num_seqs: int | None = None,
         model="",
         model_config=mc,
         max_num_seqs=num_seqs,
-        max_num_batched_tokens=4096,
-        max_model_len=512,
-        kvcache_block_size=32,
-        num_kvcache_blocks=num_seqs * (blk_tok // 32),
-        prefill_chunk_size=512,
+        max_num_batched_tokens=max_batched_tokens,
+        max_model_len=max_model_len,
+        kvcache_block_size=block_size,
+        num_kvcache_blocks=num_seqs * (blk_tok // block_size),
+        prefill_chunk_size=prefill_chunk,
         enforce_eager=True,
         decode_buckets=(num_seqs,),
-        prefill_seq_buckets=(16, num_seqs),
-        prefill_len_buckets=(32, 64, 128),
+        prefill_seq_buckets=seq_buckets or (16, num_seqs),
+        prefill_len_buckets=(32, 64, 128)
+        if prompt_hi <= 128 else (128, 256, 512),
         dtype="bfloat16",
         kv_cache_dtype=kv,
         # 64-step windows: the toy bench measured ~1 ms/step of host/tunnel
@@ -313,11 +339,15 @@ def bench_air_slice(peak_bw: float, num_seqs: int | None = None,
         # 256-token decode-attention chunks: cmax=2 grid lets the
         # cross-chunk DMA lookahead overlap compute (512 measured 5,683
         # tok/s vs 256's 5,839 at batch 128 — the 512 choice predated the
-        # lookahead and aged badly)
-        pa_chunk_tokens=256,
+        # lookahead and aged badly). The context-laden leg passes 1024:
+        # at KV-read-bound contexts the kernel is per-grid-step latency
+        # bound, so fewer/larger chunks win (BENCHMARKS.md round 5).
+        pa_chunk_tokens=pa_chunk,
     )
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(4, 60000, size=int(rng.integers(32, 128))).tolist()
+    prompts = [rng.integers(4, 60000,
+                            size=int(rng.integers(prompt_lo, prompt_hi))
+                            ).tolist()
                for _ in range(num_seqs)]
     # uniform output length: decode windows stay full, so decode_tok_s is
     # the steady-state full-batch rate (see examples/bench_air_slice.py)
@@ -358,11 +388,13 @@ def bench_air_slice(peak_bw: float, num_seqs: int | None = None,
     _gc.collect()
     _jax.clear_caches()
     _gc.collect()
+    avg_ctx = (prompt_lo + prompt_hi) / 2 + out_tokens / 2
     return {
         "config": f"glm45-air-slice {layers}L INT4 "
                   f"(H4096 96q8kv E128 Im1408 top8), batch {num_seqs}, "
-                  f"kv {kv}",
+                  f"kv {kv}, bs {block_size}",
         "param_bytes_mib": pbytes >> 20,
+        "avg_decode_ctx_tokens": round(avg_ctx),
         "total_tok_s": round(total / elapsed, 1),
         "decode_tok_s": round(m["decode_tok_per_s"], 1),
         "fresh_prefill_tok_s": round(m["prefill_tok_per_s"], 1),

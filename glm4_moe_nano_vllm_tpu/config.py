@@ -221,6 +221,11 @@ class Config:
     # prefill warmup coverage: "frontier" (largest + smallest reachable seq
     # bucket per len bucket), "all" (every reachable (seq, len) combo), "off"
     warmup_prefill: str = "frontier"
+    # AOT-warmup compile concurrency: >1 overlaps the ladder's XLA compiles
+    # across a thread pool via buffer-free lower().compile() before the
+    # serial cache-populating executions (the 14-program toy ladder measured
+    # 99.9 s fully serial over the remote-compile tunnel). 0/1 = serial.
+    warmup_compile_workers: int = 4
     # Pallas decode-attention compute-chunk size in tokens (pages per grid
     # step x block_size); larger chunks batch page DMAs, smaller ones bound
     # over-read past short contexts.
@@ -272,6 +277,21 @@ class Config:
             )
         if self.eos == -1:
             self.eos = self.model_config.eos_token_id
+        if self.kv_cache_dtype.startswith("float8"):
+            # Steer users off fp8 KV on chips without a native e4m3->f32
+            # vector convert (v5e measured 1.61x bf16 decode cost;
+            # kv_cache_dtype="int8" gives the identical capacity halving at
+            # 1.066x — BENCHMARKS.md round 4). The code stays for
+            # fp8-native chip generations.
+            import warnings
+
+            warnings.warn(
+                "kv_cache_dtype='float8_e4m3fn' costs ~1.6x decode on "
+                "chips without native e4m3 vector converts (v5e-class); "
+                "'int8' provides the same KV capacity at ~1.07x. "
+                "See BENCHMARKS.md.",
+                stacklevel=2,
+            )
         # Bucket ladders must cover the config's extremes (a clamped bucket
         # would silently truncate a batch).
         if self.decode_buckets[-1] < self.max_num_seqs:
@@ -283,6 +303,22 @@ class Config:
             [x for x in self.prefill_len_buckets if x < self.prefill_chunk_size]
             + [self.prefill_chunk_size]
         )
+        # Self-tuning seq-bucket ladder (round 5): admission fills steps to
+        # the TOKEN budget, so a full prefill step at len bucket s carries
+        # ~max_num_batched_tokens/s rows. If the seq ladder lacks that rung,
+        # the runner pads rows up to the next bucket and the padded tokens
+        # run through the whole MoE/linear stack — measured 8x padded
+        # compute on the Air b256 config ((16,256) ladder, 32 real rows at
+        # s=128 padded to 256). Insert the exact reachable full-step row
+        # count per len bucket.
+        reach = {
+            min(self.max_num_seqs,
+                max(1, self.max_num_batched_tokens // s))
+            for s in self.prefill_len_buckets
+        }
+        self.prefill_seq_buckets = tuple(sorted(
+            set(self.prefill_seq_buckets) | reach
+        ))
 
     @property
     def max_blocks_per_seq(self) -> int:

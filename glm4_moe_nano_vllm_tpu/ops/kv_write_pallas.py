@@ -94,6 +94,7 @@ def _kv_write_kernel(
     bs: int,
     group: int,
     scaled: bool,
+    decode_src: bool,
 ):
     n_t = 4 if scaled else 2  # tensors per direction (k, v[, ks, vs])
     ins = refs[:n_t]  # knew, vnew[, ksnew, vsnew]
@@ -104,11 +105,17 @@ def _kv_write_kernel(
     sems = refs[-1]
     step = pl.program_id(0)
 
+    def cache_page(c, t, blk):
+        # data caches are head-major [H, NB, bs, D]; scale planes are
+        # page-major [NB, H, 1, SL] (one contiguous slab per page)
+        return c.at[:, blk] if t < 2 else c.at[blk]
+
     def in_copies(idx, e, blk):
         cs = []
         for t in range(n_t):
             cs.append(pltpu.make_async_copy(
-                caches_in[t].at[:, blk], bufs[t].at[idx], sems.at[t, idx]
+                cache_page(caches_in[t], t, blk), bufs[t].at[idx],
+                sems.at[t, idx]
             ))
             cs.append(pltpu.make_async_copy(
                 ins[t].at[e], srcs[t].at[idx], sems.at[n_t + t, idx]
@@ -143,13 +150,17 @@ def _kv_write_kernel(
             for t in range(n_t):
                 mask = m if t < 2 else m2  # k/v data, then scale planes
                 src = srcs[t][idx]
-                if src.shape[1] != bufs[t].shape[2]:
+                if decode_src and t < 2:
                     # decode 1-row source (sublane-padded): row 0 is the
-                    # new token; broadcast over block rows, mask picks lo
+                    # new token; broadcast over block rows, mask picks lo.
+                    # Static flag from the caller (s == 1), NOT inferred
+                    # from scratch shapes (ADVICE r4: a dtype whose sublane
+                    # pad equals bs would silently alias).
                     src = src[:, :1]
                 bufs[t][idx] = jnp.where(mask, src, bufs[t][idx])
                 pltpu.make_async_copy(
-                    bufs[t].at[idx], caches_out[t].at[:, blk], sems.at[t, idx]
+                    bufs[t].at[idx], cache_page(caches_out[t], t, blk),
+                    sems.at[t, idx]
                 ).start()
 
     # write-backs must complete inside this grid step (a later *step* may RMW
@@ -163,7 +174,8 @@ def _kv_write_kernel(
         def _(idx=idx, blk=blk):
             for t in range(n_t):
                 pltpu.make_async_copy(
-                    bufs[t].at[idx], caches_out[t].at[:, blk], sems.at[t, idx]
+                    bufs[t].at[idx], cache_page(caches_out[t], t, blk),
+                    sems.at[t, idx]
                 ).wait()
 
 
@@ -271,8 +283,11 @@ def write_kv_pallas(
     # shaped like the staged input (decode stages [E, H, 1, D] — the
     # kernel's select broadcasts the single source row across block rows)
     scratch = (
-        [pltpu.VMEM((group,) + c.shape[:1] + c.shape[2:], c.dtype)
-         for c in caches]
+        # one per-block slab buffer per tensor: data [G, H, bs, D]
+        # (page = [:, blk]); scale [G, H, 1, SL] (page-major, page = [blk])
+        [pltpu.VMEM((group,) + (c.shape[:1] + c.shape[2:] if t < 2
+                                else c.shape[1:]), c.dtype)
+         for t, c in enumerate(caches)]
         + [pltpu.VMEM((group,) + i.shape[1:], i.dtype) for i in ins]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -283,7 +298,8 @@ def write_kv_pallas(
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2 * n_t, group))],
     )
     outs = pl.pallas_call(
-        functools.partial(_kv_write_kernel, bs=bs, group=group, scaled=scaled),
+        functools.partial(_kv_write_kernel, bs=bs, group=group, scaled=scaled,
+                          decode_src=(s == 1)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
         input_output_aliases={3 + n_t + i: i for i in range(n_t)},

@@ -81,12 +81,14 @@ class _ChunkCopy:
 
 
 class _ScaleChunkCopy(_ChunkCopy):
-    """fp8 per-row scale planes [Hkv, NB, 1, SL] (SL = 128-lane-padded bs,
-    ops/kv_cache.py::scale_lanes) land one page per SUBLANE of a
-    [Hkv, bpc, 1, SL] buffer — lane offsets stay 0, so ANY block size
-    works (the round-2 chunk-contiguous landing needed bs % 128 == 0).
-    The kernel compacts the first bs lanes of each page into the
-    [Hkv, 1, chunk] score multiplier with bpc static lane-concats."""
+    """fp8/int8 per-row scale planes, PAGE-MAJOR [NB, Hkv, 1, SL] (SL =
+    128-lane-padded bs, ops/kv_cache.py::scale_lanes): one page's scales
+    for every head are a single contiguous slab, so each page costs ONE
+    DMA descriptor (the head-major layout split it into Hkv strided 512 B
+    pieces — measured ~0.5 ms/layer of DMA-issue cost at ctx 4096). Pages
+    land at ``buf[j]`` of a [bpc, Hkv, 1, SL] buffer; the kernel compacts
+    the first bs lanes of each page into the [Hkv, 1, chunk] score
+    multiplier with bpc static lane-concats (full-tile at bs == 128)."""
 
     def __init__(self, hbm_ref, buf, sem, pi_ref, page_offset, bpc,
                  first_page, pages_needed):
@@ -96,7 +98,7 @@ class _ScaleChunkCopy(_ChunkCopy):
             cond = first_page + j < pages_needed
             self.entries.append(
                 (pltpu.make_async_copy(
-                    hbm_ref.at[:, page], buf.at[:, j], sem),
+                    hbm_ref.at[page], buf.at[j], sem),
                  cond)
             )
 
@@ -219,23 +221,41 @@ def _decode_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         def compact_scales(sbuf):
-            # [hkv, bpc, 1, SL] -> [hkv, 1, chunk]: first bs lanes per page
+            # [bpc, hkv, 1, SL] -> [hkv, 1, chunk]: first bs lanes per page
             return jnp.concatenate(
-                [sbuf[:, j, :, :block_size] for j in range(bpc)], axis=-1
+                [sbuf[j, :, :, :block_size] for j in range(bpc)], axis=-1
             )
 
         if scaled:
             # fp8 dequant folds into the scores: one multiply per kv row
             cs[2].wait()
             s = s * compact_scales(ks_buf[buf])  # [hkv, 1, chunk] over G
-        pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(pos < length, s, NEG_INF)
+        # causal/length masking is only needed on a sequence's LAST chunk
+        # (earlier chunks are fully inside the context); branching on the
+        # scalar saves the iota+compare+select VPU passes on every full
+        # chunk — the kernel is per-chunk-VPU-bound at KV-read-heavy
+        # contexts (BENCHMARKS.md round 5)
+        def _mask(sv):
+            pos = i * chunk + jax.lax.broadcasted_iota(jnp.int32, sv.shape, 2)
+            return jnp.where(pos < length, sv, NEG_INF)
+
+        s = jax.lax.cond((i + 1) * chunk > length, _mask, lambda sv: sv, s)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # the softmax denominator is accumulated as a PER-LANE partial-sum
+        # vector [Hkv, G, 128] (full-lane-tile adds, chunk//128 of them)
+        # instead of a per-chunk lane-tree reduction to a scalar; the single
+        # scalar reduce happens once at the output step
+        if chunk % 128 == 0:
+            lp = p[:, :, :128]
+            for t in range(1, chunk // 128):
+                lp = lp + p[:, :, t * 128:(t + 1) * 128]
+        else:  # odd tail chunk (maxb not divisible): plain lane reduce
+            lp = jnp.sum(p, axis=-1, keepdims=True)
+        l_new = l_prev * alpha + lp
         cs[1].wait()
         v = v_buf[buf].reshape(hkv, chunk, -1).astype(jnp.float32)
         if scaled:
@@ -249,8 +269,9 @@ def _decode_kernel(
 
         @pl.when((i + 1) * chunk >= length)
         def _():
+            l_tot = jnp.sum(l_new, axis=-1, keepdims=True)
             o_ref[0] = (
-                acc_new / jnp.maximum(l_new, 1e-30)
+                acc_new / jnp.maximum(l_tot, 1e-30)
             ).astype(o_ref.dtype)
 
 
@@ -287,16 +308,19 @@ def paged_attention_decode(
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     caches = [kc, vc] + ([k_cache["scale"], v_cache["scale"]] if scaled else [])
     cache_specs = [any_spec, any_spec] + [hbm_spec] * (len(caches) - 2)
+    chunk = bs * bpc
     scratch = [
         pltpu.VMEM((hkv, g, 1), jnp.float32),
-        pltpu.VMEM((hkv, g, 1), jnp.float32),
+        # l is a [*, 128] per-lane partial-sum vector when the chunk is a
+        # whole number of lane tiles (the usual case); scalar otherwise
+        pltpu.VMEM((hkv, g, 128 if chunk % 128 == 0 else 1), jnp.float32),
         pltpu.VMEM((hkv, g, d), jnp.float32),
         pltpu.VMEM((2, hkv, bpc, bs, d), kc.dtype),
         pltpu.VMEM((2, hkv, bpc, bs, d), vc.dtype),
     ]
     if scaled:
         sl = k_cache["scale"].shape[-1]  # 128-lane-padded bs
-        scratch += [pltpu.VMEM((2, hkv, bpc, 1, sl), jnp.float32)] * 2
+        scratch += [pltpu.VMEM((2, bpc, hkv, 1, sl), jnp.float32)] * 2
     scratch.append(pltpu.SemaphoreType.DMA((len(caches), 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

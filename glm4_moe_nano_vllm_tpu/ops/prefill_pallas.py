@@ -60,9 +60,11 @@ def _prefill_kernel(
     def dma(tensor_idx, slot, blk_idx):
         hbm, scr = tensors[tensor_idx]
         blk = bt_ref[b, blk_idx]
-        return pltpu.make_async_copy(
-            hbm.at[h, blk], scr.at[slot], sems.at[tensor_idx, slot]
-        )
+        # data caches head-major [Hkv, NB, bs, D]; scale planes page-major
+        # [NB, Hkv, 1, SL] (see ops/kv_cache.py::make_kv_cache)
+        src = hbm.at[h, blk] if tensor_idx < 2 else hbm.at[blk, h]
+        return pltpu.make_async_copy(src, scr.at[slot],
+                                     sems.at[tensor_idx, slot])
 
     @pl.when(tile_start >= qlen)
     def _():

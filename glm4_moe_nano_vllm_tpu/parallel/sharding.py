@@ -157,8 +157,9 @@ def cache_specs(caches, replicate_kv: bool = False, pp_keys: tuple = ()) -> dict
     """KV caches: [H_kv, L*num_blocks, block_size, D] → heads on tp; stacks
     named in ``pp_keys`` additionally shard the layer-flat block dim over pp
     (contiguous layer slabs → each pp stage owns its own layers' blocks).
-    FP8 caches are {data, scale} dicts; the scale plane [H, NB, 1, bs]
-    shards like its data."""
+    FP8/int8 caches are {data, scale} dicts; the scale plane is PAGE-MAJOR
+    [NB, H, 1, SL] (ops/kv_cache.py::make_kv_cache), so its block and head
+    axes are swapped relative to the data array."""
 
     def spec(path, leaf):
         assert leaf.ndim == 4
@@ -166,6 +167,8 @@ def cache_specs(caches, replicate_kv: bool = False, pp_keys: tuple = ()) -> dict
         name = names[-2] if names[-1] in ("data", "scale") else names[-1]
         blocks = "pp" if name in pp_keys else None
         heads = None if replicate_kv else "tp"
+        if names[-1] == "scale":
+            return P(blocks, heads, None, None)
         return P(heads, blocks, None, None)
 
     return jax.tree_util.tree_map_with_path(spec, caches)
