@@ -224,8 +224,11 @@ class Config:
     # AOT-warmup compile concurrency: >1 overlaps the ladder's XLA compiles
     # across a thread pool via buffer-free lower().compile() before the
     # serial cache-populating executions (the 14-program toy ladder measured
-    # 99.9 s fully serial over the remote-compile tunnel). 0/1 = serial.
-    warmup_compile_workers: int = 4
+    # 99.9 s fully serial over the remote-compile tunnel). The overlap only
+    # pays when the persistent compilation cache is enabled (the serial
+    # executions then re-compile from cache in ~ms) — without it every
+    # program compiles twice, so the default is serial; bench.py opts in.
+    warmup_compile_workers: int = 0
     # Pallas decode-attention compute-chunk size in tokens (pages per grid
     # step x block_size); larger chunks batch page DMAs, smaller ones bound
     # over-read past short contexts.

@@ -86,6 +86,7 @@ class ModelRunner:
         self._cast_quant_scales()
         if mesh is None:
             self._fuse_qkv_projections()
+            self._fuse_gate_up()
         logger.info("params ready in %.1fs", time.perf_counter() - t0)
 
         self.num_blocks = self._compute_num_blocks()
@@ -256,6 +257,26 @@ class ModelRunner:
             if "bq" in p:
                 p["bqkv"] = jnp.concatenate(
                     [p.pop("bq"), p.pop("bk"), p.pop("bv")], axis=-1)
+
+    def _fuse_gate_up(self):
+        """Concatenate quantized gate/up MLP weights along N ONCE so the
+        dense-layer MLP runs one matmul for the SiLU pair (same argument as
+        _fuse_qkv_projections: AWQ/int8 groups run along K, so an N-concat
+        never crosses a group and each output column is bit-identical).
+        Single-chip only: under tp gate/up shard on I independently."""
+        if self.mesh is not None or not isinstance(self.params, dict):
+            return
+        for stack in ("layers", "dense_layers"):
+            p = self.params.get(stack)
+            if not isinstance(p, dict) or not isinstance(p.get("gate"), dict):
+                continue
+            if not isinstance(p.get("up"), dict):
+                continue
+            g, u = p["gate"], p["up"]
+            p["wgu"] = {
+                key: jnp.concatenate([g[key], u[key]], axis=-1) for key in g
+            }
+            del p["gate"], p["up"]
 
     # ---- device programs ---------------------------------------------------
 

@@ -27,6 +27,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     init_linear,
     init_weight,
     mlp_block,
+    mlp_block_fused,
 )
 from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, moe_experts_ep, route_topk
 
@@ -175,12 +176,23 @@ class Glm4MoeForCausalLM:
         def dense_body(carry, xs, batch):
             x, kc, vc = carry
             lp, li = xs
+            st = self._full_dense  # quant stacks out of the xs (see below)
+            st_attn = st if st is not None and (
+                "wq" in st or "wqkv" in st) else None
             hh = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
             a, kc, vc = attention_block(hh, lp, kc, vc, batch, cfg, inv_freq,
-                                        li, nb, cos_sin=cos_sin)
+                                        li, nb, attn_stacks=st_attn,
+                                        cos_sin=cos_sin)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
+            if st is not None and "wgu" in st:
+                x = x + mlp_block_fused(hh, st["wgu"], st["down"],
+                                        layer_idx=li)
+            elif st is not None and "gate" in st:
+                x = x + mlp_block(hh, st["gate"], st["up"], st["down"],
+                                  layer_idx=li)
+            else:
+                x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
             return (x, kc, vc), None
 
         def moe_body(carry, xs, batch, cs=None):
@@ -243,12 +255,25 @@ class Glm4MoeForCausalLM:
 
         new_caches = dict(caches)
         self._full_attn = None  # set for the non-pp MoE stack below
+        self._full_dense = None
         if self.num_dense > 0:
+            dl = params["dense_layers"]
+            # quant stacks out of the scan xs (per-layer XLA slices of quant
+            # stacks feeding custom calls are real HBM copies — same rule as
+            # the MoE stack below; ~165 MB of dense-layer weights per step
+            # at Air widths)
+            dkeys = tuple(
+                k for k in ("wq", "wk", "wv", "wqkv", "wo",
+                            "gate", "up", "down", "wgu")
+                if isinstance(dl.get(k), dict)
+            )
+            if self.pp == 1 and dkeys:
+                self._full_dense = {k: dl[k] for k in dkeys}
+                dl = {k: v for k, v in dl.items() if k not in dkeys}
             (x, kd, vd), _ = jax.lax.scan(
                 lambda c, xs: dense_body(c, xs, batch),
                 (x, caches["dense_k"], caches["dense_v"]),
-                (params["dense_layers"],
-                 jnp.arange(self.num_dense, dtype=jnp.int32)),
+                (dl, jnp.arange(self.num_dense, dtype=jnp.int32)),
             )
             new_caches["dense_k"], new_caches["dense_v"] = kd, vd
         if self.pp > 1:

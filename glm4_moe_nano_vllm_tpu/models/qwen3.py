@@ -22,6 +22,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     init_linear,
     init_weight,
     mlp_block,
+    mlp_block_fused,
 )
 
 
@@ -129,17 +130,27 @@ class Qwen3ForCausalLM:
                                         cos_sin=cs)
             x = x + a
             h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
+            st = self._full_attn
+            if st is not None and "wgu" in st:
+                x = x + mlp_block_fused(h, st["wgu"], st["down"],
+                                        layer_idx=li)
+            elif st is not None and "gate" in st:
+                x = x + mlp_block(h, st["gate"], st["up"], st["down"],
+                                  layer_idx=li)
+            else:
+                x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
             return (x, kc, vc), None
 
-        # quantized attention projections stay out of the scan xs (layer
-        # selected in-kernel — per-layer slices of INT4 stacks are real
-        # copies, see glm4_moe.py)
+        # quantized weight stacks stay out of the scan xs (layer selected
+        # in-kernel) — per-layer XLA slices of quant stacks are real HBM
+        # copies (a custom call can't fuse the slice): measured 7.5 ms of a
+        # 29 ms Qwen3-8B INT8 decode step when gate/up/down rode the xs
         self._full_attn = None
         attn_keys = ()
         if self.pp == 1:
             attn_keys = tuple(
-                k for k in ("wq", "wk", "wv", "wqkv", "wo")
+                k for k in ("wq", "wk", "wv", "wqkv", "wo",
+                            "gate", "up", "down", "wgu")
                 if isinstance(params["layers"].get(k), dict)
             )
             if attn_keys:

@@ -22,11 +22,16 @@ zp u8 [KG, N], scale f32 [KG, N]); int8 = (qw i8 [K, N], scale f32 [KG, N]).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# N-tile ceiling (tuning knob): 512 keeps the weight block ~<= 0.5 MB int4;
+# larger tiles amortize per-grid-step overhead at the cost of VMEM
+_QD_TN = int(os.environ.get("NVT_QD_TN", "512"))
 
 
 
@@ -76,7 +81,7 @@ def _dense_call(x_p, li, *wset, quant_group: int | None = None,
     # N tile: biggest divisor of N <= 512 keeps the weight block ~<= 0.5 MB
     # (double-buffered) while amortizing per-step pipeline overhead; must be
     # lane-aligned (%128) unless it covers the whole dim (Mosaic block rule)
-    tn = next((d for d in range(min(n, 512), 0, -1)
+    tn = next((d for d in range(min(n, _QD_TN), 0, -1)
                if n % d == 0 and (d % 128 == 0 or d == n)), None)
     if tn is None:
         # no lane-aligned divisor (e.g. GLM-4.5-Air's dense-MLP N=10944):
@@ -84,7 +89,7 @@ def _dense_call(x_p, li, *wset, quant_group: int | None = None,
         # (q/zp/scale/out all indexed by N on the lane dim), so the padded
         # lanes of the last block only ever produce the padded output lanes
         # Mosaic masks on write
-        tn = min(512, -(-n // 128) * 128)
+        tn = min(_QD_TN, -(-n // 128) * 128)
 
     in_specs = [pl.BlockSpec((b_pad, k), lambda i, li: (0, 0))]
     for w in wset:

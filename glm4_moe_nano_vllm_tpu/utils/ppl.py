@@ -28,11 +28,16 @@ def _full_logits(model, params, hidden):
     return jnp.dot(h, lm_head, preferred_element_type=jnp.float32)
 
 
-def sequence_nll(model, params, token_ids: list[int], block_size: int = 16):
-    """Total negative log-likelihood (nats) and token count for one sequence."""
+def sequence_nll(model, params, token_ids: list[int], block_size: int = 16,
+                 kv_dtype=jnp.bfloat16):
+    """Total negative log-likelihood (nats) and token count for one sequence.
+
+    ``kv_dtype`` selects the KV-cache storage dtype: int8/fp8 runs the
+    scaled write-quantize + in-kernel dequant attention path, putting the
+    serving KV pipeline inside the PPL gate (VERDICT r4 item 7)."""
     t = len(token_ids)
     num_blocks = (t + block_size - 1) // block_size
-    caches = model.init_caches(num_blocks + 1, block_size)
+    caches = model.init_caches(num_blocks + 1, block_size, kv_dtype)
     pos = np.arange(t, dtype=np.int32)
     batch = BatchInfo(
         token_ids=jnp.asarray(np.asarray(token_ids, np.int32)[None]),
@@ -51,10 +56,11 @@ def sequence_nll(model, params, token_ids: list[int], block_size: int = 16):
     return float(nll), t - 1
 
 
-def perplexity(model, params, sequences: list[list[int]], block_size: int = 16) -> float:
+def perplexity(model, params, sequences: list[list[int]], block_size: int = 16,
+               kv_dtype=jnp.bfloat16) -> float:
     total_nll, total_tok = 0.0, 0
     for seq in sequences:
-        nll, n = sequence_nll(model, params, seq, block_size)
+        nll, n = sequence_nll(model, params, seq, block_size, kv_dtype)
         total_nll += nll
         total_tok += n
     return float(np.exp(total_nll / max(total_tok, 1)))
