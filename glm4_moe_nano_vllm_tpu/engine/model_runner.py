@@ -542,23 +542,33 @@ class ModelRunner:
                 return
             from concurrent.futures import ThreadPoolExecutor
 
-            def one(shape):
+            # Tracing (lower) runs SERIALLY: the models keep the out-of-xs
+            # weight stacks on mutable attributes during a trace, so
+            # concurrent traces race and leak tracers. Only the backend
+            # compile — the expensive remote/XLA part — is pooled.
+            lowered = []
+            for shape in shapes:
                 is_pf, b, s, mb, steps = shape
                 info = self._dummy_info(b, s, mb)
                 try:
                     if steps == 1:
-                        self._jit_step.lower(
-                            self.params, self.caches, info, key).compile()
+                        lowered.append(self._jit_step.lower(
+                            self.params, self.caches, info, key))
                     else:
-                        self._jit_multi.lower(
-                            self.params, self.caches, info, key,
-                            steps).compile()
+                        lowered.append(self._jit_multi.lower(
+                            self.params, self.caches, info, key, steps))
                 except Exception as e:  # noqa: BLE001 — warmup best-effort
-                    logger.warning("warmup precompile failed for %s: %r",
+                    logger.warning("warmup lower failed for %s: %r",
                                    shape, e)
 
+            def one(lo):
+                try:
+                    lo.compile()
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("warmup precompile failed: %r", e)
+
             with ThreadPoolExecutor(cfg.warmup_compile_workers) as pool:
-                list(pool.map(one, list(shapes)))
+                list(pool.map(one, lowered))
 
         windows = [1]
         while windows[-1] * 2 <= cfg.num_scheduler_steps:

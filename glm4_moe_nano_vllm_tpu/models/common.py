@@ -165,6 +165,34 @@ def mlp_block_fused(x: jax.Array, wgu, wd, layer_idx=None) -> jax.Array:
                   layer_idx=layer_idx)
 
 
+def mlp_block_stacked(x: jax.Array, st, lp, li) -> jax.Array:
+    """SiLU-gated MLP taking each weight from the out-of-xs stack dict
+    ``st`` (full [L, ...] quant stacks, layer ``li`` selected in-kernel)
+    when present, else from the scanned per-layer slice ``lp``. Weights can
+    be MIXED: e.g. GLM-4.5-Air's dense-MLP down_proj (K=10944, group 128
+    does not divide) stays an unquantized array in the xs while gate/up
+    (or the fused wgu) are quant stacks."""
+
+    def pick(name):
+        if st is not None and name in st:
+            return st[name], li
+        return lp[name], None
+
+    wd, lid = pick("down")
+    if st is not None and "wgu" in st:
+        gu = linear(x, st["wgu"], layer_idx=li)
+        i = gu.shape[-1] // 2
+        return linear(silu_and_mul(gu[..., :i], gu[..., i:]), wd,
+                      layer_idx=lid)
+    wg, lg = pick("gate")
+    wu, lu = pick("up")
+    return linear(
+        silu_and_mul(linear(x, wg, layer_idx=lg),
+                     linear(x, wu, layer_idx=lu)),
+        wd, layer_idx=lid,
+    )
+
+
 def embed(token_ids: jax.Array, embedding, dtype=jnp.bfloat16,
           transposed: bool = False) -> jax.Array:
     """Token embedding gather. ``embedding`` is either a dense [V, H] table

@@ -27,7 +27,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     init_linear,
     init_weight,
     mlp_block,
-    mlp_block_fused,
+    mlp_block_stacked,
 )
 from glm4_moe_nano_vllm_tpu.ops.moe import moe_experts, moe_experts_ep, route_topk
 
@@ -185,14 +185,7 @@ class Glm4MoeForCausalLM:
                                         cos_sin=cos_sin)
             x = x + a
             hh = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-            if st is not None and "wgu" in st:
-                x = x + mlp_block_fused(hh, st["wgu"], st["down"],
-                                        layer_idx=li)
-            elif st is not None and "gate" in st:
-                x = x + mlp_block(hh, st["gate"], st["up"], st["down"],
-                                  layer_idx=li)
-            else:
-                x = x + mlp_block(hh, lp["gate"], lp["up"], lp["down"])
+            x = x + mlp_block_stacked(hh, st, lp, li)
             return (x, kc, vc), None
 
         def moe_body(carry, xs, batch, cs=None):

@@ -22,7 +22,7 @@ from glm4_moe_nano_vllm_tpu.models.common import (
     init_linear,
     init_weight,
     mlp_block,
-    mlp_block_fused,
+    mlp_block_stacked,
 )
 
 
@@ -131,14 +131,7 @@ class Qwen3ForCausalLM:
             x = x + a
             h = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             st = self._full_attn
-            if st is not None and "wgu" in st:
-                x = x + mlp_block_fused(h, st["wgu"], st["down"],
-                                        layer_idx=li)
-            elif st is not None and "gate" in st:
-                x = x + mlp_block(h, st["gate"], st["up"], st["down"],
-                                  layer_idx=li)
-            else:
-                x = x + mlp_block(h, lp["gate"], lp["up"], lp["down"])
+            x = x + mlp_block_stacked(h, st, lp, li)
             return (x, kc, vc), None
 
         # quantized weight stacks stay out of the scan xs (layer selected

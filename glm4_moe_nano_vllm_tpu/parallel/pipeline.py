@@ -138,8 +138,17 @@ def pipeline_forward(
 
     stack_spec = jax.tree.map(lambda _: P("pp"), layer_params)
     batch_spec = jax.tree.map(lambda _: P(), batch)
-    kc_spec = jax.tree.map(lambda _: P(None, "pp"), k_caches)
-    vc_spec = jax.tree.map(lambda _: P(None, "pp"), v_caches)
+
+    def cache_spec(c):
+        # data is head-major [H, L*nb, bs, D] (layer-flat blocks at axis 1);
+        # scaled caches carry PAGE-MAJOR scale planes [L*nb, H, 1, SL]
+        # (ops/kv_cache.py round 5) whose block dim is axis 0
+        if isinstance(c, dict):
+            return {"data": P(None, "pp"), "scale": P("pp")}
+        return P(None, "pp")
+
+    kc_spec = cache_spec(k_caches)
+    vc_spec = cache_spec(v_caches)
     fn = jax.shard_map(
         pipelined,
         mesh=mesh,
