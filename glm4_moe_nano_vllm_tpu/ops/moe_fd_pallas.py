@@ -76,7 +76,7 @@ def _mlp(x, g_refs, u_refs, d_refs, int4, kt_h, nk_h, kt_i, nk_i):
 
 
 def _make_kernel(n_w: int, kt_h: int, nk_h: int, kt_i: int, nk_i: int,
-                 tm: int, nk_sh: int, nk_si: int):
+                 tm: int, nk_sh: int, nk_si: int, epb: int = 1):
     int4 = n_w == 3
 
     def kernel(offs_ref, li_ref, x_ref, sel_ref, selw_ref, *refs):
@@ -105,34 +105,39 @@ def _make_kernel(n_w: int, kt_h: int, nk_h: int, kt_i: int, nk_i: int,
             else:
                 out_ref[...] = jnp.zeros_like(out_ref)
 
-        start = pl.multiple_of(offs_ref[e], tm)
-        nchunks = (offs_ref[e + 1] - offs_ref[e]) // tm
+        # epb experts share one grid step (one 2x-sized weight DMA block);
+        # each keeps its own offs span
+        for sub_e in range(epb):
+            eg = e * epb + sub_e if epb > 1 else e
+            start = pl.multiple_of(offs_ref[eg], tm)
+            nchunks = (offs_ref[eg + 1] - offs_ref[eg]) // tm
 
-        sub = lambda rs: [r.at[0, 0] for r in rs]  # noqa: E731
-        g_refs, u_refs, d_refs = sub(gate), sub(up), sub(down)
+            sub = lambda rs, s=sub_e: [r.at[0, s] for r in rs]  # noqa: E731
+            g_refs, u_refs, d_refs = sub(gate), sub(up), sub(down)
 
-        def chunk_body(c, _):
-            row0 = pl.multiple_of(start + c * tm, tm)
-            sel = sel_ref[pl.ds(row0, tm), :]  # [TM, T] one-hot bf16
-            # in-VMEM gather: exact bf16 row copies (1.0 * x, f32 accum)
-            x = jax.lax.dot_general(
-                sel, x_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x_ref.dtype)  # [TM, H]
-            o = _mlp(x, g_refs, u_refs, d_refs, int4,
-                     kt_h, nk_h, kt_i, nk_i)  # [TM, H] f32
-            # weighted combine: selw rows are onehot * combine-weight, so
-            # each token receives at most one contribution per chunk
-            sw = selw_ref[pl.ds(row0, tm), :]  # [TM, T] f32
-            out_ref[...] += jax.lax.dot_general(
-                sw, o, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return 0
+            def chunk_body(c, _, start=start, g_refs=g_refs, u_refs=u_refs,
+                           d_refs=d_refs):
+                row0 = pl.multiple_of(start + c * tm, tm)
+                sel = sel_ref[pl.ds(row0, tm), :]  # [TM, T] one-hot bf16
+                # in-VMEM gather: exact bf16 row copies (1.0 * x, f32 accum)
+                x = jax.lax.dot_general(
+                    sel, x_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x_ref.dtype)  # [TM, H]
+                o = _mlp(x, g_refs, u_refs, d_refs, int4,
+                         kt_h, nk_h, kt_i, nk_i)  # [TM, H] f32
+                # weighted combine: selw rows are onehot * combine-weight,
+                # so each token receives at most one contribution per chunk
+                sw = selw_ref[pl.ds(row0, tm), :]  # [TM, T] f32
+                out_ref[...] += jax.lax.dot_general(
+                    sw, o, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return 0
 
-        @pl.when(nchunks > 0)
-        def _():
-            jax.lax.fori_loop(0, nchunks, chunk_body, 0, unroll=False)
+            @pl.when(nchunks > 0)
+            def _(chunk_body=chunk_body, nchunks=nchunks):
+                jax.lax.fori_loop(0, nchunks, chunk_body, 0, unroll=False)
 
     return kernel
 
@@ -182,6 +187,12 @@ def _fd_call(x_p, sel, selw, offs, layer_idx, *wsets_flat, m_ext: int,
     routed = wsets_flat[: 3 * n_w]
     sh_sets = wsets_flat[3 * n_w:]
 
+    # experts per grid step: >1 doubles the per-step weight DMA block (A/B
+    # knob for the streaming-ceiling question, BENCHMARKS.md round 4)
+    epb = int(os.environ.get("NVT_FD_EPB", "1"))
+    if epb <= 1 or e % epb != 0:
+        epb = 1
+
     in_specs = [
         pl.BlockSpec((t_pad, h), lambda e, offs, li: (0, 0)),  # x: resident
         pl.BlockSpec((m_ext, t_pad), lambda e, offs, li: (0, 0)),  # sel: resident
@@ -189,7 +200,7 @@ def _fd_call(x_p, sel, selw, offs, layer_idx, *wsets_flat, m_ext: int,
     ]
     for w in routed:
         in_specs.append(
-            pl.BlockSpec((1, 1) + w.shape[2:],
+            pl.BlockSpec((1, epb) + w.shape[2:],
                          lambda ei, offs, li: (li[0], ei, 0, 0))
         )
     for w in sh_sets:  # [L, ...]: layer-indexed, constant across the grid
@@ -200,12 +211,12 @@ def _fd_call(x_p, sel, selw, offs, layer_idx, *wsets_flat, m_ext: int,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(e,),
+        grid=(e // epb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((t_pad, h), lambda e, offs, li: (0, 0)),
     )
     out = pl.pallas_call(
-        _make_kernel(n_w, kt_h, nk_h, kt_i, nk_i, tm, nk_sh, nk_si),
+        _make_kernel(n_w, kt_h, nk_h, kt_i, nk_i, tm, nk_sh, nk_si, epb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, h), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
